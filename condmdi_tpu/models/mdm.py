@@ -1,0 +1,221 @@
+"""MDM transformer denoiser in Flax (features-last, batch-first).
+
+Architecture parity with reference model/mdm.py:10 (MDM):
+  * InputProcess: Dense F→D                       (mdm.py:356)
+  * prepend conditioning token = timestep-emb + text/action emb  (:239-264)
+  * sinusoidal positional encoding over [cond, frames]           (:275)
+  * N post-LN transformer encoder layers (torch TransformerEncoderLayer
+    semantics: x = LN(x + Attn(x)); x = LN(x + FFN(x)), gelu)    (:108-117)
+  * OutputProcess: Dense D→F                      (mdm.py:397)
+
+Differences by design (TPU-first):
+  * layout [B, T, F] (batch leading; lane dim = features) instead of
+    [T, B, F] seq-first torch convention;
+  * text conditioning consumes a precomputed CLIP embedding [B, 512]
+    (`y['text_embed']`) — CLIP weights are frozen and stripped from
+    reference checkpoints anyway (training_loop.py:404-410); a JAX text
+    encoder lives in models/text.py;
+  * classifier-free cond dropout uses an explicit rng collection;
+  * attention runs through ops/attention.py (Pallas kernel on TPU, XLA
+    fallback elsewhere).
+
+arch variants: trans_enc (default), trans_dec (cross-attends to the cond
+token), gru (LSTM-free scan GRU).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from condmdi_tpu.models.embeddings import (
+    EmbedAction,
+    PositionalEncoding,
+    TimestepEmbedder,
+)
+from condmdi_tpu.ops.attention import multihead_attention
+
+Array = jax.Array
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Post-LN encoder layer matching torch.nn.TransformerEncoderLayer."""
+
+    d_model: int
+    num_heads: int
+    ff_size: int
+    dropout: float = 0.1
+    activation: str = "gelu"
+
+    @nn.compact
+    def __call__(self, x: Array, *, deterministic: bool = True) -> Array:
+        # self-attention block
+        attn_out = multihead_attention(
+            nn.Dense(3 * self.d_model, name="qkv")(x),
+            num_heads=self.num_heads,
+        )
+        attn_out = nn.Dense(self.d_model, name="attn_out")(attn_out)
+        attn_out = nn.Dropout(self.dropout)(attn_out, deterministic=deterministic)
+        x = nn.LayerNorm(name="norm1")(x + attn_out)
+        # feed-forward block
+        h = nn.Dense(self.ff_size, name="ff1")(x)
+        h = nn.gelu(h, approximate=False) if self.activation == "gelu" else nn.relu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(self.d_model, name="ff2")(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return nn.LayerNorm(name="norm2")(x + h)
+
+
+class TransformerDecoderLayer(nn.Module):
+    """Post-LN decoder layer (self-attn + cross-attn to memory)."""
+
+    d_model: int
+    num_heads: int
+    ff_size: int
+    dropout: float = 0.1
+    activation: str = "gelu"
+
+    @nn.compact
+    def __call__(self, x: Array, memory: Array, *, deterministic: bool = True) -> Array:
+        sa = multihead_attention(
+            nn.Dense(3 * self.d_model, name="qkv")(x), num_heads=self.num_heads
+        )
+        sa = nn.Dense(self.d_model, name="attn_out")(sa)
+        sa = nn.Dropout(self.dropout)(sa, deterministic=deterministic)
+        x = nn.LayerNorm(name="norm1")(x + sa)
+
+        q = nn.Dense(self.d_model, name="q_proj")(x)
+        kv = nn.Dense(2 * self.d_model, name="kv_proj")(memory)
+        k, v = jnp.split(kv, 2, axis=-1)
+        from condmdi_tpu.ops.attention import mha
+
+        ca = mha(q, k, v, num_heads=self.num_heads)
+        ca = nn.Dense(self.d_model, name="cross_out")(ca)
+        ca = nn.Dropout(self.dropout)(ca, deterministic=deterministic)
+        x = nn.LayerNorm(name="norm2")(x + ca)
+
+        h = nn.Dense(self.ff_size, name="ff1")(x)
+        h = nn.gelu(h, approximate=False) if self.activation == "gelu" else nn.relu(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(self.d_model, name="ff2")(h)
+        h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+        return nn.LayerNorm(name="norm3")(x + h)
+
+
+class MDM(nn.Module):
+    """Motion Diffusion Model transformer denoiser."""
+
+    njoints: int = 263
+    nfeats: int = 1
+    latent_dim: int = 512
+    ff_size: int = 1024
+    num_layers: int = 8
+    num_heads: int = 4
+    dropout: float = 0.1
+    activation: str = "gelu"
+    data_rep: str = "hml_vec"
+    clip_dim: int = 512
+    arch: str = "trans_enc"
+    emb_trans_dec: bool = False
+    cond_mode: str = "text"  # 'text' | 'action' | 'no_cond'
+    cond_mask_prob: float = 0.1
+    num_actions: int = 1
+
+    @property
+    def input_feats(self) -> int:
+        return self.njoints * self.nfeats
+
+    def mask_cond(self, cond: Array, force_mask, train: bool) -> Array:
+        """Classifier-free guidance dropout (reference mask_cond:188).
+
+        force_mask: python bool or [B] bool array — zeroes the condition.
+        """
+        if isinstance(force_mask, bool):
+            if force_mask:
+                return jnp.zeros_like(cond)
+        else:
+            cond = jnp.where(force_mask[:, None], 0.0, cond)
+        if train and self.cond_mask_prob > 0.0:
+            rng = self.make_rng("cond_mask")
+            keep = jax.random.bernoulli(
+                rng, 1.0 - self.cond_mask_prob, (cond.shape[0], 1)
+            )
+            cond = cond * keep.astype(cond.dtype)
+        return cond
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,  # [B, T, F]
+        timesteps: Array,  # [B] int
+        y: Optional[dict[str, Any]] = None,
+        train: bool = False,
+    ) -> Array:
+        y = y or {}
+        B, T, F = x.shape
+        emb = TimestepEmbedder(self.latent_dim, name="embed_timestep")(timesteps)
+
+        force_mask = y.get("uncond", False)
+        if "text" in self.cond_mode and "text_embed" in y:
+            enc_text = y["text_embed"].astype(x.dtype)
+            emb = emb + nn.Dense(self.latent_dim, name="embed_text")(
+                self.mask_cond(enc_text, force_mask, train)
+            )
+        if "action" in self.cond_mode and "action" in y:
+            act = EmbedAction(self.num_actions, self.latent_dim, name="embed_action")(
+                y["action"]
+            )
+            emb = emb + self.mask_cond(act, force_mask, train)
+
+        h = nn.Dense(self.latent_dim, name="input_process")(x)  # [B, T, D]
+
+        if self.arch.startswith("trans_enc"):
+            xseq = jnp.concatenate([emb[:, None, :], h], axis=1)  # [B, T+1, D]
+            xseq = PositionalEncoding(
+                self.latent_dim, self.dropout, name="pos_enc"
+            )(xseq, deterministic=not train)
+            for i in range(self.num_layers):
+                xseq = TransformerEncoderLayer(
+                    self.latent_dim,
+                    self.num_heads,
+                    self.ff_size,
+                    self.dropout,
+                    self.activation,
+                    name=f"layer{i}",
+                )(xseq, deterministic=not train)
+            out = xseq[:, 1:, :]
+        elif self.arch.startswith("trans_dec"):
+            memory = emb[:, None, :]
+            if self.emb_trans_dec:
+                xseq = jnp.concatenate([memory, h], axis=1)
+            else:
+                xseq = h
+            xseq = PositionalEncoding(
+                self.latent_dim, self.dropout, name="pos_enc"
+            )(xseq, deterministic=not train)
+            for i in range(self.num_layers):
+                xseq = TransformerDecoderLayer(
+                    self.latent_dim,
+                    self.num_heads,
+                    self.ff_size,
+                    self.dropout,
+                    self.activation,
+                    name=f"layer{i}",
+                )(xseq, memory, deterministic=not train)
+            out = xseq[:, 1:, :] if self.emb_trans_dec else xseq
+        elif self.arch.startswith("gru"):
+            xseq = PositionalEncoding(
+                self.latent_dim, self.dropout, name="pos_enc"
+            )(h, deterministic=not train)
+            x_rnn = xseq
+            for i in range(self.num_layers):
+                cell = nn.GRUCell(features=self.latent_dim)
+                x_rnn = nn.RNN(cell, name=f"gru{i}")(x_rnn)
+            out = x_rnn
+        else:
+            raise ValueError(f"unknown arch {self.arch}")
+
+        return nn.Dense(self.input_feats, name="output_process")(out)  # [B, T, F]

@@ -1,0 +1,54 @@
+"""Device mesh construction + sharding rules.
+
+The reference has NO working distributed path (utils/dist_util.py:18-41 is a
+commented-out stub; use_ddp hardcoded False, training_loop.py:139). This
+module IS the distributed backend for the TPU build, designed per the
+jax.sharding recipe: one Mesh over ICI, batch-dim data parallelism for both
+training and sampling, params replicated, XLA inserting psums for gradient
+reduction. Multi-host: per-process data sharding keyed off
+jax.process_index, DCN handled by jax.distributed at init.
+
+Sequence parallelism is deliberately absent — sequences are ≤224 frames
+(SURVEY §5); batch DP saturates ICI for this workload.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+Array = jax.Array
+
+DATA_AXIS = "dp"
+
+
+def make_mesh(devices: Optional[list] = None, axis_name: str = DATA_AXIS) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices."""
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def data_parallel_spec(mesh: Mesh, leading_dim: bool = True) -> NamedSharding:
+    """Sharding: batch dim split over the mesh, everything else replicated."""
+    return NamedSharding(mesh, P(DATA_AXIS) if leading_dim else P())
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Put every array leaf of `batch` with its leading dim sharded over dp."""
+    sharding = NamedSharding(mesh, P(DATA_AXIS))
+
+    def put(x):
+        if isinstance(x, (jax.Array, np.ndarray)) and np.ndim(x) >= 1:
+            return jax.device_put(x, sharding)
+        return x
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate(mesh: Mesh, tree: Any) -> Any:
+    """Replicate a pytree (params, opt state) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,2 @@
+from condmdi_tpu.utils.layout import to_reference_layout, from_reference_layout
+from condmdi_tpu.utils.assets import find_assets_dir, load_norm_stats, NormStats

@@ -1,0 +1,346 @@
+"""Configuration system: dataclass option groups → cards → CLI → args.json.
+
+Mirrors the reference's three-tier design (SURVEY §5 config/flag system):
+  1. option-group dataclasses (reference utils/parser_util.py:10-470)
+  2. "cards" — preset subclasses overriding defaults (reference configs/)
+  3. CLI override via an auto-generated argparse (reference vendored
+     HfArgumentParser; here a ~60-line equivalent)
+plus the args.json round-trip: training dumps args.json next to checkpoints
+(train_condmdi.py:50-52) and every sampler/eval reloads model/data/diffusion
+options from it, CLI flags overriding (parse_and_load_from_model,
+parser_util.py:566-603).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from dataclasses import dataclass, field, fields
+from pathlib import Path
+from typing import Optional, Tuple, get_args, get_origin
+
+# --------------------------------------------------------------------------- #
+# Option groups
+# --------------------------------------------------------------------------- #
+@dataclass
+class BaseOptions:
+    seed: int = 10
+
+
+@dataclass
+class DiffusionOptions:
+    noise_schedule: str = "cosine"
+    diffusion_steps: int = 1000
+    sigma_small: bool = True
+    predict_xstart: bool = True
+    use_ddim: bool = False
+    clip_range: float = 6.0
+    timestep_respacing: str = ""  # e.g. 'ddim100'
+
+
+@dataclass
+class ModelOptions:
+    arch: str = "trans_enc"  # trans_enc | trans_dec | gru | unet | dit*
+    emb_trans_dec: bool = False
+    layers: int = 8
+    latent_dim: int = 512
+    ff_size: int = 1024
+    num_heads: int = 4
+    dim_mults: Tuple[float, ...] = (2, 2, 2, 2)
+    unet_adagn: bool = True
+    unet_zero: bool = True
+    unet_attention: bool = False
+    out_mult: int = 1
+    cond_mask_prob: float = 0.1
+    keyframe_mask_prob: float = 0.1
+    lambda_rcxyz: float = 0.0
+    lambda_vel: float = 0.0
+    lambda_fc: float = 0.0
+    unconstrained: bool = False
+    keyframe_conditioned: bool = False
+    keyframe_selection_scheme: str = "random_frames"
+    zero_keyframe_loss: bool = False
+
+
+@dataclass
+class DataOptions:
+    dataset: str = "humanml"
+    data_dir: str = ""
+    abs_3d: bool = False
+    traj_only: bool = False
+    xz_only: bool = False
+    use_random_proj: bool = False
+    random_proj_scale: float = 10.0
+    augment_type: str = "none"
+    std_scale_shift: Tuple[float, float] = (1.0, 0.0)
+    drop_redundant: bool = False
+    num_frames: int = 196
+
+
+@dataclass
+class TrainingOptions:
+    save_dir: Optional[str] = None
+    overwrite: bool = False
+    batch_size: int = 64
+    lr: float = 1e-4
+    weight_decay: float = 0.0
+    grad_clip: float = 0.0
+    use_fp16: bool = False  # (legacy name; TPU build trains bf16 when set)
+    avg_model_beta: float = 0.0
+    adam_beta2: float = 0.999
+    lr_anneal_steps: int = 0
+    eval_batch_size: int = 32
+    eval_split: str = "test"
+    eval_during_training: bool = False
+    eval_rep_times: int = 3
+    eval_num_samples: int = 1000
+    log_interval: int = 1000
+    save_interval: int = 100_000
+    num_steps: int = 1_200_000
+    resume_checkpoint: str = ""
+    apply_zero_mask: bool = False
+    traj_extra_weight: float = 1.0
+    time_weighted_loss: bool = False
+    train_x0_as_eps: bool = False
+    schedule_sampler: str = "uniform"
+
+
+@dataclass
+class SamplingOptions:
+    model_path: str = ""
+    output_dir: str = ""
+    num_samples: int = 10
+    num_repetitions: int = 3
+    guidance_param: float = 2.5
+    keyframe_guidance_param: float = 1.0
+
+
+@dataclass
+class GenerateOptions:
+    motion_length: float = 11.2
+    motion_length_cut: float = 6.0
+    input_text: str = ""
+    action_file: str = ""
+    text_prompt: str = ""
+    action_name: str = ""
+    use_fixed_dataset: bool = False
+
+
+@dataclass
+class CondSyntOptions:
+    edit_mode: str = "benchmark_sparse"
+    transition_length: int = 30
+    n_keyframes: int = 5
+    editable_features: str = "pos_rot_vel"
+    text_condition: str = ""
+    imputate: bool = False
+    replacement_distribution: str = "conditional"
+    reconstruction_guidance: bool = False
+    reconstruction_weight: float = 5.0
+    gradient_schedule: Optional[str] = None
+    cutoff_point: int = 0
+    stop_imputation_at: int = 0
+    stop_recguidance_at: int = 0
+    use_fixed_dataset: bool = False
+    use_fixed_subset: bool = False
+    no_text: bool = False
+
+
+@dataclass
+class GMDOptions:
+    guidance_mode: str = "no"
+    classifier_scale: float = 100.0
+    do_inpaint: bool = False
+    gen_reward_model: bool = False
+    gen_two_stages: bool = False
+    gen_mse_loss: bool = True
+    p2p_impute: bool = True
+    interactive: bool = False
+
+
+@dataclass
+class EvaluationOptions:
+    model_path: str = ""
+    eval_mode: str = "wo_mm"
+    guidance_param: float = 2.5
+    impute_until: Optional[int] = None
+    skip_first: Optional[int] = None
+
+
+# --------------------------------------------------------------------------- #
+# Composite args
+# --------------------------------------------------------------------------- #
+@dataclass
+class TrainArgs(
+    BaseOptions, DataOptions, ModelOptions, DiffusionOptions, TrainingOptions
+):
+    pass
+
+
+@dataclass
+class GenerateArgs(
+    BaseOptions, DataOptions, ModelOptions, DiffusionOptions,
+    SamplingOptions, GenerateOptions,
+):
+    pass
+
+
+@dataclass
+class CondSyntArgs(
+    BaseOptions, DataOptions, ModelOptions, DiffusionOptions,
+    SamplingOptions, GenerateOptions, CondSyntOptions,
+):
+    pass
+
+
+@dataclass
+class EvalArgs(
+    BaseOptions, DataOptions, ModelOptions, DiffusionOptions,
+    SamplingOptions, GenerateOptions, CondSyntOptions, EvaluationOptions,
+):
+    pass
+
+
+# --------------------------------------------------------------------------- #
+# Cards (presets) — reference configs/model.py + configs/card.py
+# --------------------------------------------------------------------------- #
+@dataclass
+class motion_mdm(TrainArgs):
+    arch: str = "trans_enc"
+    latent_dim: int = 512
+    ff_size: int = 1024
+    num_frames: int = 196
+    predict_xstart: bool = True
+    grad_clip: float = 1.0
+    avg_model_beta: float = 0.9999
+    weight_decay: float = 0.0
+
+
+@dataclass
+class motion_unet_adagn_xl(TrainArgs):
+    arch: str = "unet"
+    latent_dim: int = 512
+    dim_mults: Tuple[float, ...] = (2, 2, 2, 2)
+    unet_adagn: bool = True
+    unet_zero: bool = True
+    num_frames: int = 224
+    predict_xstart: bool = True
+    grad_clip: float = 1.0
+    avg_model_beta: float = 0.9999
+    weight_decay: float = 0.01
+    use_fp16: bool = True
+
+
+@dataclass
+class motion_abs_unet_adagn_xl(motion_unet_adagn_xl):
+    """THE default CondMDI base config (reference card.py:72,
+    train_condmdi.py:40): abs-root HumanML3D + UNet-XL AdaGN."""
+
+    abs_3d: bool = True
+    save_dir: Optional[str] = "save/motion_abs_unet_adagn_xl"
+
+
+@dataclass
+class motion_abs_mdm(motion_mdm):
+    abs_3d: bool = True
+    save_dir: Optional[str] = "save/motion_abs_mdm"
+
+
+@dataclass
+class traj_unet_adagn_swx(TrainArgs):
+    arch: str = "unet"
+    latent_dim: int = 512
+    dim_mults: Tuple[float, ...] = (0.125, 0.25, 0.5)
+    unet_adagn: bool = True
+    unet_zero: bool = True
+    num_frames: int = 224
+    predict_xstart: bool = False
+    traj_only: bool = True
+    abs_3d: bool = True
+    grad_clip: float = 1.0
+    avg_model_beta: float = 0.9999
+    weight_decay: float = 0.01
+    batch_size: int = 64
+    save_interval: int = 12_500
+    num_steps: int = 100_000
+
+
+CARDS = {
+    "motion_mdm": motion_mdm,
+    "motion_abs_mdm": motion_abs_mdm,
+    "motion_unet_adagn_xl": motion_unet_adagn_xl,
+    "motion_abs_unet_adagn_xl": motion_abs_unet_adagn_xl,
+    "traj_unet_adagn_swx": traj_unet_adagn_swx,
+}
+
+
+# --------------------------------------------------------------------------- #
+# dataclass → argparse bridge + args.json round trip
+# --------------------------------------------------------------------------- #
+def _add_field_to_parser(parser: argparse.ArgumentParser, f: dataclasses.Field):
+    name = "--" + f.name
+    ftype = f.type
+    origin = get_origin(ftype)
+    if ftype in (bool, "bool"):
+        parser.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"),
+                            default=None)
+    elif origin is tuple or origin is Tuple:
+        parser.add_argument(name, type=float, nargs="+", default=None)
+    elif ftype in (int, "int"):
+        parser.add_argument(name, type=int, default=None)
+    elif ftype in (float, "float"):
+        parser.add_argument(name, type=float, default=None)
+    else:
+        parser.add_argument(name, type=str, default=None)
+
+
+def parse_args(cls, argv=None, base_card: Optional[str] = None):
+    """Instantiate `cls` (or a card) and override from CLI argv."""
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, default=base_card)
+    for f in fields(cls):
+        _add_field_to_parser(parser, f)
+    ns, _unknown = parser.parse_known_args(argv)
+
+    card_cls = CARDS.get(ns.config, cls) if ns.config else cls
+    args = card_cls() if issubclass(card_cls, cls) else cls()
+    for f in fields(cls):
+        v = getattr(ns, f.name, None)
+        if v is not None:
+            if get_origin(f.type) in (tuple, Tuple):
+                v = tuple(v)
+            setattr(args, f.name, v)
+    return args
+
+
+def save_args_json(args, path: str | Path):
+    d = dataclasses.asdict(args)
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    with open(path, "w") as fh:
+        json.dump(d, fh, indent=2, default=str)
+
+
+# options whose values must come from the trained model's args.json
+MODEL_ARGS_GROUPS = (DataOptions, ModelOptions, DiffusionOptions)
+
+
+def load_args_from_model(args, model_path: str | Path, cli_overridden=()):
+    """parse_and_load_from_model equivalent (parser_util.py:566-603):
+    overwrite model/data/diffusion options from the args.json stored next to
+    the checkpoint, keeping CLI-overridden names intact."""
+    args_path = Path(model_path).parent / "args.json"
+    if not args_path.exists():
+        raise FileNotFoundError(f"args.json not found at {args_path}")
+    with open(args_path) as fh:
+        model_args = json.load(fh)
+    names = set()
+    for grp in MODEL_ARGS_GROUPS:
+        names.update(f.name for f in fields(grp))
+    for name in names:
+        if name in model_args and name not in cli_overridden and hasattr(args, name):
+            v = model_args[name]
+            if isinstance(v, list):
+                v = tuple(v)
+            setattr(args, name, v)
+    return args

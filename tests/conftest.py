@@ -13,6 +13,12 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+import jax  # noqa: E402
+
+# The axon TPU plugin overrides JAX_PLATFORMS at import time; the config
+# update is authoritative. Tests must run on the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 
 # The reference repo (used only to GENERATE golden values in tests) predates
