@@ -1,0 +1,95 @@
+"""Benchmark: 196-frame samples/sec/chip, 1000-step DDPM, CondMDI UNet-XL.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline derivation: the reference's paper eval (eval_humanml_condmdi wo_mm:
+1000 samples × 20 replications of 196-frame 1000-step DDPM sampling) takes
+~20 h on one A100-class GPU (README.md:238) → ≈ 0.278 samples/sec/GPU
+including evaluator overhead; sampling dominates. vs_baseline = measured /
+0.278.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_SAMPLES_PER_SEC = 20000.0 / (20 * 3600.0)  # ≈ 0.278
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from condmdi_tpu.diffusion import (
+        DiffusionConfig,
+        DiffusionSchedule,
+        get_named_beta_schedule,
+    )
+    from condmdi_tpu.diffusion.sampling import SamplerConfig, ddpm_sample_loop
+    from condmdi_tpu.models.unet import MDM_UNET
+
+    B, T, F = 32, 196, 263
+    STEPS = 1000
+
+    model = MDM_UNET(
+        njoints=F, latent_dim=512, dim_mults=(2, 2, 2, 2),
+        keyframe_conditioned=True, pad_frames_to=224,
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.zeros((B, T, F))
+    t0 = jnp.zeros((B,), jnp.int32)
+    y = {"text_embed": jnp.asarray(rng.standard_normal((B, 512)).astype(np.float32))}
+    obs_x0 = jnp.asarray(rng.standard_normal((B, T, F)).astype(np.float32) * 0.1)
+    obs_mask = jnp.zeros((B, T, F), bool).at[:, ::10, :].set(True)
+    params = model.init(jax.random.key(0), x, t0, y, obs_x0=obs_x0, obs_mask=obs_mask)
+
+    # bf16 params + activations: TPU-native precision for inference
+    params = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, params
+    )
+
+    sched = DiffusionSchedule.create(get_named_beta_schedule("cosine", STEPS))
+    dcfg = DiffusionConfig()
+
+    @jax.jit
+    def run(params, y, obs_x0, obs_mask, key):
+        def denoise(x_t, t):
+            out = model.apply(
+                params, x_t.astype(jnp.bfloat16), t, y,
+                obs_x0=obs_x0.astype(jnp.bfloat16), obs_mask=obs_mask,
+            )
+            return out.astype(jnp.float32)
+
+        return ddpm_sample_loop(
+            denoise, sched, dcfg, (B, T, F), key, sampler=SamplerConfig()
+        )
+
+    # warmup/compile
+    out = run(params, y, obs_x0, obs_mask, jax.random.key(0))
+    jax.block_until_ready(out)
+
+    n_runs = 2
+    start = time.perf_counter()
+    for i in range(n_runs):
+        out = run(params, y, obs_x0, obs_mask, jax.random.key(i + 1))
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - start
+
+    samples_per_sec = (B * n_runs) / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "196-frame samples/sec/chip (1000-step DDPM, CondMDI UNet-XL keyframe-conditioned)",
+                "value": round(samples_per_sec, 4),
+                "unit": "samples/sec/chip",
+                "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

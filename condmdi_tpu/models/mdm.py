@@ -59,14 +59,14 @@ class TransformerEncoderLayer(nn.Module):
         )
         attn_out = nn.Dense(self.d_model, name="attn_out")(attn_out)
         attn_out = nn.Dropout(self.dropout)(attn_out, deterministic=deterministic)
-        x = nn.LayerNorm(name="norm1")(x + attn_out)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + attn_out)
         # feed-forward block
         h = nn.Dense(self.ff_size, name="ff1")(x)
         h = nn.gelu(h, approximate=False) if self.activation == "gelu" else nn.relu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(self.d_model, name="ff2")(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        return nn.LayerNorm(name="norm2")(x + h)
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + h)
 
 
 class TransformerDecoderLayer(nn.Module):
@@ -85,7 +85,7 @@ class TransformerDecoderLayer(nn.Module):
         )
         sa = nn.Dense(self.d_model, name="attn_out")(sa)
         sa = nn.Dropout(self.dropout)(sa, deterministic=deterministic)
-        x = nn.LayerNorm(name="norm1")(x + sa)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + sa)
 
         q = nn.Dense(self.d_model, name="q_proj")(x)
         kv = nn.Dense(2 * self.d_model, name="kv_proj")(memory)
@@ -95,14 +95,14 @@ class TransformerDecoderLayer(nn.Module):
         ca = mha(q, k, v, num_heads=self.num_heads)
         ca = nn.Dense(self.d_model, name="cross_out")(ca)
         ca = nn.Dropout(self.dropout)(ca, deterministic=deterministic)
-        x = nn.LayerNorm(name="norm2")(x + ca)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm2")(x + ca)
 
         h = nn.Dense(self.ff_size, name="ff1")(x)
         h = nn.gelu(h, approximate=False) if self.activation == "gelu" else nn.relu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(self.d_model, name="ff2")(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        return nn.LayerNorm(name="norm3")(x + h)
+        return nn.LayerNorm(epsilon=1e-5, name="norm3")(x + h)
 
 
 class MDM(nn.Module):

@@ -54,7 +54,7 @@ class Conv1dBlock(nn.Module):
             kernel_init=init,
             name="conv",
         )(x)
-        x = nn.GroupNorm(num_groups=self.n_groups, name="norm")(x)
+        x = nn.GroupNorm(num_groups=self.n_groups, epsilon=1e-5, name="norm")(x)
         return mish(x)
 
 
@@ -73,7 +73,7 @@ class Conv1dAdaGNBlock(nn.Module):
             padding=self.kernel_size // 2,
             name="conv",
         )(x)
-        x = nn.GroupNorm(num_groups=self.n_groups, name="norm")(x)
+        x = nn.GroupNorm(num_groups=self.n_groups, epsilon=1e-5, name="norm")(x)
         x = x * (1.0 + scale[:, None, :]) + shift[:, None, :]
         return mish(x)
 
