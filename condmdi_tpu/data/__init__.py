@@ -16,3 +16,12 @@ from condmdi_tpu.data.humanml_repr import (
     recover_from_rot,
     extract_features,
 )
+from condmdi_tpu.data.dataset import (
+    DatasetConfig,
+    DataLoader,
+    Text2MotionDataset,
+    TextOnlyDataset,
+    SyntheticMotionDataset,
+    collate,
+    get_dataset_loader,
+)

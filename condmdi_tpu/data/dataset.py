@@ -1,0 +1,359 @@
+"""HumanML3D / text-to-motion datasets, collation, and the host data feed.
+
+Behavior parity with the reference data layer (SURVEY §2.3):
+  * Text2MotionDataset ≙ Text2MotionDatasetV2 (dataset.py:231): per-clip
+    .npy (T×263) + texts/*.txt "caption#tokens#f_tag#to_tag" files, length
+    filter [min_len, 200), random caption choice, crop to unit-length
+    multiples with the single/single/double coin (:434-447), trajectory-only
+    slice (:450), rot/full augmentation (:453-474), drop_redundant (:476),
+    z-normalization with std_scale_shift (:481-483), random projection
+    (:487), zero-pad to max_motion_length (:492).
+  * TextOnlyDataset (dataset.py:866): caption-only, fixed length.
+  * collate ≙ tensors.py:22-72 in the [B, T, F] layout with time masks.
+
+TPU-first: everything here is host-side numpy (the accelerator only ever
+sees fixed-shape device arrays); batches are produced as plain dicts that
+`parallel.shard_batch` places onto the mesh. Multi-host sharding slices the
+index list by (process_index, process_count).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from condmdi_tpu.utils.assets import NormStats, load_norm_stats
+
+HML_DIM = 263
+
+
+@dataclass
+class DatasetConfig:
+    name: str = "humanml"
+    data_dir: str = ""
+    split: str = "train"
+    hml_mode: str = "train"  # train | eval | gt | text_only
+    max_motion_length: int = 196
+    min_motion_length: int = 40
+    unit_length: int = 4
+    abs_3d: bool = False
+    traject_only: bool = False
+    use_random_projection: bool = False
+    random_projection_scale: float = 10.0
+    augment_type: str = "none"  # none | rot | full
+    std_scale_shift: tuple[float, float] = (1.0, 0.0)
+    drop_redundant: bool = False
+    fixed_len: int = 0
+
+
+class Text2MotionDataset:
+    """File-backed HumanML3D dataset (requires downloaded data)."""
+
+    def __init__(self, cfg: DatasetConfig, stats: Optional[NormStats] = None):
+        self.cfg = cfg
+        root = Path(cfg.data_dir or "./dataset/HumanML3D")
+        suffix = "_abs_3d" if cfg.abs_3d else ""
+        self.motion_dir = root / ("new_joint_vecs" + ("_abs_3d" if cfg.abs_3d else ""))
+        if not self.motion_dir.is_dir():
+            self.motion_dir = root / "new_joint_vecs"
+        self.text_dir = root / "texts"
+        split_file = root / f"{cfg.split}.txt"
+        if not split_file.exists():
+            raise FileNotFoundError(
+                f"HumanML3D split file {split_file} not found — download the "
+                "dataset (reference prepare/*.sh) or use SyntheticMotionDataset"
+            )
+        self.stats = stats or load_norm_stats("abs3d" if cfg.abs_3d else "t2m")
+
+        ids = [l.strip() for l in open(split_file) if l.strip()]
+        self.entries = []
+        for name in ids:
+            mpath = self.motion_dir / f"{name}.npy"
+            if not mpath.exists():
+                continue
+            motion = np.load(mpath, mmap_mode="r")
+            if len(motion) < cfg.min_motion_length or len(motion) >= 200:
+                continue
+            texts = []
+            tpath = self.text_dir / f"{name}.txt"
+            if tpath.exists():
+                for line in open(tpath):
+                    parts = line.strip().split("#")
+                    if len(parts) < 4:
+                        continue
+                    caption, tokens, f_tag, to_tag = parts[0], parts[1], parts[2], parts[3]
+                    f_tag = 0.0 if f_tag in ("", "nan") else float(f_tag)
+                    to_tag = 0.0 if to_tag in ("", "nan") else float(to_tag)
+                    texts.append(dict(caption=caption, tokens=tokens.split(" "),
+                                      f_tag=f_tag, to_tag=to_tag))
+            if not texts:
+                continue
+            # split sub-clips with explicit tags like the reference (:300-330)
+            base_texts = [t for t in texts if t["f_tag"] == 0.0 and t["to_tag"] == 0.0]
+            for t in texts:
+                if t["f_tag"] != 0.0 or t["to_tag"] != 0.0:
+                    n_frames = int(to_tag * 20) - int(f_tag * 20)
+                    if cfg.min_motion_length <= n_frames < 200:
+                        self.entries.append(
+                            dict(name=name, span=(int(t["f_tag"] * 20), int(t["to_tag"] * 20)),
+                                 texts=[t])
+                        )
+            if base_texts:
+                self.entries.append(dict(name=name, span=None, texts=base_texts))
+
+    def __len__(self):
+        return len(self.entries)
+
+    def __getitem__(self, i: int) -> dict:
+        cfg = self.cfg
+        e = self.entries[i]
+        motion = np.load(self.motion_dir / f"{e['name']}.npy").astype(np.float32)
+        if e["span"] is not None:
+            motion = motion[e["span"][0] : e["span"][1]]
+        text = random.choice(e["texts"])
+
+        m_length = len(motion)
+        coin2 = (
+            np.random.choice(["single", "single", "double"])
+            if cfg.unit_length < 10
+            else "single"
+        )
+        if coin2 == "double":
+            m_length = (m_length // cfg.unit_length - 1) * cfg.unit_length
+        else:
+            m_length = (m_length // cfg.unit_length) * cfg.unit_length
+        start = random.randint(0, len(motion) - m_length)
+        motion = motion[start : start + m_length]
+
+        if cfg.traject_only:
+            motion = motion[:, :4]
+        motion = apply_augmentation(motion, cfg.augment_type)
+        if cfg.drop_redundant:
+            motion = motion[:, :67]
+
+        motion = self.normalize(motion)
+
+        return dict(
+            motion=motion,
+            length=m_length,
+            caption=text["caption"],
+            tokens=text["tokens"],
+        )
+
+    # -- transform hooks (reference transform_th/inv_transform_th :384-399) --
+    def normalize(self, x: np.ndarray) -> np.ndarray:
+        scale, shift = self.cfg.std_scale_shift
+        std = self.stats.std[: x.shape[-1]] * scale + shift
+        return (x - self.stats.mean[: x.shape[-1]]) / std
+
+    def denormalize(self, x: np.ndarray) -> np.ndarray:
+        scale, shift = self.cfg.std_scale_shift
+        std = self.stats.std[: x.shape[-1]] * scale + shift
+        return x * std + self.stats.mean[: x.shape[-1]]
+
+
+def apply_augmentation(motion: np.ndarray, augment_type: str) -> np.ndarray:
+    """Random yaw (rot) ± random xz translation (full) on abs-root features
+    (reference dataset.py:453-474)."""
+    if augment_type not in ("rot", "full"):
+        return motion
+    motion = motion.copy()
+    rand_rot = (np.random.rand() * 2.0 - 1.0) * np.pi / 4.0
+    motion[:, 0] = motion[:, 0] + rand_rot
+    c, s = np.cos(-rand_rot), np.sin(-rand_rot)
+    x, z = motion[:, 1].copy(), motion[:, 2].copy()
+    # rotate xz by -rand_rot about y (qrot with inverse yaw quaternion)
+    motion[:, 1] = c * x + s * z
+    motion[:, 2] = -s * x + c * z
+    if augment_type == "full":
+        rand_trans = (np.random.rand(2) * 2.0 - 1.0) * 3.0
+        motion[:, 1] += rand_trans[0]
+        motion[:, 2] += rand_trans[1]
+    return motion
+
+
+class TextOnlyDataset:
+    """Caption-only dataset for generation without GT motions (ref :866)."""
+
+    def __init__(self, cfg: DatasetConfig, captions: Sequence[str], fixed_length: int = 120):
+        self.cfg = cfg
+        self.captions = list(captions)
+        self.fixed_length = fixed_length
+
+    def __len__(self):
+        return len(self.captions)
+
+    def __getitem__(self, i):
+        return dict(
+            motion=np.zeros((self.fixed_length, HML_DIM), np.float32),
+            length=self.fixed_length,
+            caption=self.captions[i],
+            tokens=[],
+        )
+
+
+class SyntheticMotionDataset:
+    """Procedural plausible-motion dataset (FK on smooth random walks).
+
+    Stands in for HumanML3D when assets are absent: tests, benches, and
+    end-to-end pipeline validation. Features are generated through the real
+    codec (`extract_features`), so downstream recover_from_ric round-trips
+    behave like real data.
+    """
+
+    def __init__(self, cfg: DatasetConfig, size: int = 64, seed: int = 0):
+        import jax.numpy as jnp
+
+        from condmdi_tpu.data.humanml_repr import extract_features
+        from condmdi_tpu.geometry.skeleton import (
+            T2M_KINEMATIC_CHAIN,
+            T2M_RAW_OFFSETS,
+            Skeleton,
+        )
+
+        self.cfg = cfg
+        rng = np.random.default_rng(seed)
+        skel = Skeleton(T2M_RAW_OFFSETS, T2M_KINEMATIC_CHAIN)
+        offsets = (T2M_RAW_OFFSETS * rng.uniform(0.25, 0.45, size=(22, 1))).astype(
+            np.float32
+        )
+        self.items = []
+        T = min(cfg.max_motion_length + 1, 200)
+        for i in range(size):
+            base = rng.normal(size=(1, 22, 4))
+            steps = rng.normal(size=(T, 22, 4)) * 0.03
+            q = base + np.cumsum(steps, axis=0)
+            q = (q / np.linalg.norm(q, axis=-1, keepdims=True)).astype(np.float32)
+            root = np.cumsum(rng.normal(size=(T, 3)) * 0.01, axis=0).astype(np.float32)
+            root[:, 1] += 0.9
+            joints = np.asarray(
+                skel.forward_kinematics(jnp.asarray(q), jnp.asarray(root), jnp.asarray(offsets))
+            )
+            feats = np.asarray(
+                extract_features(jnp.asarray(joints), 0.002, abs_3d=cfg.abs_3d)
+            ).astype(np.float32)
+            self.items.append(
+                dict(motion=feats, caption=f"synthetic motion {i}", tokens=[])
+            )
+        all_feats = np.concatenate([it["motion"] for it in self.items], axis=0)
+        self.stats = NormStats(
+            all_feats.mean(axis=0).astype(np.float32),
+            (all_feats.std(axis=0) + 1e-6).astype(np.float32),
+        )
+
+    def __len__(self):
+        return len(self.items)
+
+    def __getitem__(self, i):
+        cfg = self.cfg
+        it = self.items[i]
+        motion = it["motion"]
+        m_length = min(len(motion), cfg.max_motion_length)
+        m_length = (m_length // cfg.unit_length) * cfg.unit_length
+        start = np.random.randint(0, len(motion) - m_length + 1)
+        motion = motion[start : start + m_length]
+        if cfg.traject_only:
+            motion = motion[:, :4]
+        motion = self.normalize(motion)
+        return dict(motion=motion, length=m_length, caption=it["caption"], tokens=it["tokens"])
+
+    def normalize(self, x):
+        return (x - self.stats.mean[: x.shape[-1]]) / self.stats.std[: x.shape[-1]]
+
+    def denormalize(self, x):
+        return x * self.stats.std[: x.shape[-1]] + self.stats.mean[: x.shape[-1]]
+
+
+# --------------------------------------------------------------------------- #
+# Collation + loader
+# --------------------------------------------------------------------------- #
+def collate(samples: Sequence[dict], max_motion_length: int, text_encoder=None) -> dict:
+    """Pad to max length, build masks. Layout [B, T, F] (tensors.py:22-72)."""
+    B = len(samples)
+    F = samples[0]["motion"].shape[-1]
+    motion = np.zeros((B, max_motion_length, F), np.float32)
+    lengths = np.zeros((B,), np.int32)
+    captions = []
+    for i, s in enumerate(samples):
+        L = min(len(s["motion"]), max_motion_length)
+        motion[i, :L] = s["motion"][:L]
+        lengths[i] = L
+        captions.append(s["caption"])
+    time_mask = np.arange(max_motion_length)[None, :] < lengths[:, None]
+    batch = dict(
+        motion=motion,
+        time_mask=time_mask,
+        lengths=lengths,
+        text=captions,
+    )
+    if text_encoder is not None:
+        batch["text_embed"] = text_encoder.encode(captions)
+    return batch
+
+
+class DataLoader:
+    """Shuffling epoch iterator with per-process sharding.
+
+    Replaces torch DataLoader(num_workers=8): batches are small (≤64×224×263
+    f32 ≈ 15 MB) and the transform is cheap numpy, so a single-threaded feed
+    keeps a TPU step ahead; per-host sharding slices the shuffled index by
+    process_index (the reference has no multi-host path at all).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        max_motion_length: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        text_encoder=None,
+        process_index: int = 0,
+        process_count: int = 1,
+        drop_last: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.max_motion_length = max_motion_length
+        self.shuffle = shuffle
+        self.seed = seed
+        self.text_encoder = text_encoder
+        self.process_index = process_index
+        self.process_count = process_count
+        self.drop_last = drop_last
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset) // self.process_count
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[dict]:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idx)
+        idx = idx[self.process_index :: self.process_count]
+        self.epoch += 1
+        for i in range(0, len(idx) - (self.batch_size - 1 if self.drop_last else 0), self.batch_size):
+            chunk = idx[i : i + self.batch_size]
+            if self.drop_last and len(chunk) < self.batch_size:
+                break
+            samples = [self.dataset[int(j)] for j in chunk]
+            yield collate(samples, self.max_motion_length, self.text_encoder)
+
+
+def get_dataset_loader(cfg: DatasetConfig, batch_size: int, text_encoder=None, **kw):
+    """Factory ≙ reference get_data.py:77 — picks the dataset class by
+    config and wraps it in a loader."""
+    try:
+        ds = Text2MotionDataset(cfg)
+    except FileNotFoundError:
+        ds = SyntheticMotionDataset(cfg, size=max(batch_size * 4, 64))
+    return DataLoader(
+        ds, batch_size, cfg.max_motion_length, text_encoder=text_encoder, **kw
+    )

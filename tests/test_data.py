@@ -1,0 +1,79 @@
+"""Data layer tests: synthetic dataset, collation, loader sharding."""
+
+import numpy as np
+import pytest
+
+from condmdi_tpu.data import (
+    DataLoader,
+    DatasetConfig,
+    SyntheticMotionDataset,
+    collate,
+    get_dataset_loader,
+)
+from condmdi_tpu.models.text import HashTextEncoder
+
+
+class TestSyntheticDataset:
+    def test_shapes_and_normalization(self):
+        cfg = DatasetConfig(max_motion_length=64, abs_3d=True)
+        ds = SyntheticMotionDataset(cfg, size=8, seed=0)
+        s = ds[0]
+        assert s["motion"].shape[-1] == 263
+        assert s["length"] % cfg.unit_length == 0
+        # normalized data roughly zero-mean unit-var
+        cat = np.concatenate([ds[i]["motion"] for i in range(8)], axis=0)
+        assert abs(cat.mean()) < 0.5
+        rec = ds.denormalize(ds.normalize(np.zeros((4, 263), np.float32)))
+        np.testing.assert_allclose(rec, 0.0, atol=1e-4)
+
+    def test_traject_only(self):
+        cfg = DatasetConfig(max_motion_length=64, traject_only=True)
+        ds = SyntheticMotionDataset(cfg, size=4)
+        assert ds[0]["motion"].shape[-1] == 4
+
+
+class TestCollate:
+    def test_padding_and_masks(self):
+        samples = [
+            dict(motion=np.ones((30, 263), np.float32), length=30, caption="a", tokens=[]),
+            dict(motion=np.ones((50, 263), np.float32), length=50, caption="b", tokens=[]),
+        ]
+        batch = collate(samples, 64, text_encoder=HashTextEncoder())
+        assert batch["motion"].shape == (2, 64, 263)
+        assert batch["time_mask"].sum() == 80
+        assert (batch["motion"][0, 30:] == 0).all()
+        assert batch["text_embed"].shape == (2, 512)
+        np.testing.assert_array_equal(batch["lengths"], [30, 50])
+
+
+class TestLoader:
+    def test_epoch_iteration(self):
+        cfg = DatasetConfig(max_motion_length=32)
+        ds = SyntheticMotionDataset(cfg, size=16)
+        dl = DataLoader(ds, batch_size=4, max_motion_length=32, seed=1)
+        batches = list(dl)
+        assert len(batches) == 4
+        assert all(b["motion"].shape == (4, 32, 263) for b in batches)
+
+    def test_process_sharding_partitions_data(self):
+        cfg = DatasetConfig(max_motion_length=32)
+        ds = SyntheticMotionDataset(cfg, size=16)
+        seen = []
+        for pi in range(2):
+            dl = DataLoader(
+                ds, batch_size=4, max_motion_length=32, seed=3,
+                process_index=pi, process_count=2, shuffle=True,
+            )
+            for b in dl:
+                seen.append(b["motion"])
+        # two hosts × 2 batches of 4 = all 16 samples, no duplicates
+        allm = np.concatenate(seen, axis=0)
+        assert allm.shape[0] == 16
+        uniq = {allm[i].tobytes() for i in range(16)}
+        assert len(uniq) == 16
+
+    def test_factory_falls_back_to_synthetic(self):
+        cfg = DatasetConfig(max_motion_length=32, data_dir="/nonexistent")
+        dl = get_dataset_loader(cfg, batch_size=4)
+        b = next(iter(dl))
+        assert b["motion"].shape == (4, 32, 263)
