@@ -278,29 +278,43 @@ CARDS = {
 # --------------------------------------------------------------------------- #
 # dataclass → argparse bridge + args.json round trip
 # --------------------------------------------------------------------------- #
-def _add_field_to_parser(parser: argparse.ArgumentParser, f: dataclasses.Field):
-    name = "--" + f.name
-    ftype = f.type
+def _resolve_types(cls) -> dict:
+    import typing
+
+    try:
+        return typing.get_type_hints(cls)
+    except Exception:
+        return {f.name: f.type for f in fields(cls)}
+
+
+def _add_field_to_parser(parser: argparse.ArgumentParser, name: str, ftype):
+    flag = "--" + name
     origin = get_origin(ftype)
-    if ftype in (bool, "bool"):
-        parser.add_argument(name, type=lambda s: s.lower() in ("1", "true", "yes"),
+    if ftype is bool:
+        parser.add_argument(flag, type=lambda s: s.lower() in ("1", "true", "yes"),
                             default=None)
-    elif origin is tuple or origin is Tuple:
-        parser.add_argument(name, type=float, nargs="+", default=None)
-    elif ftype in (int, "int"):
-        parser.add_argument(name, type=int, default=None)
-    elif ftype in (float, "float"):
-        parser.add_argument(name, type=float, default=None)
+    elif origin is tuple:
+        parser.add_argument(flag, type=float, nargs="+", default=None)
+    elif ftype is int:
+        parser.add_argument(flag, type=int, default=None)
+    elif ftype is float:
+        parser.add_argument(flag, type=float, default=None)
+    elif origin is not None and type(None) in get_args(ftype):
+        # Optional[T]
+        inner = [a for a in get_args(ftype) if a is not type(None)][0]
+        parser.add_argument(flag, type=inner if inner in (int, float) else str,
+                            default=None)
     else:
-        parser.add_argument(name, type=str, default=None)
+        parser.add_argument(flag, type=str, default=None)
 
 
 def parse_args(cls, argv=None, base_card: Optional[str] = None):
     """Instantiate `cls` (or a card) and override from CLI argv."""
+    hints = _resolve_types(cls)
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str, default=base_card)
     for f in fields(cls):
-        _add_field_to_parser(parser, f)
+        _add_field_to_parser(parser, f.name, hints.get(f.name, str))
     ns, _unknown = parser.parse_known_args(argv)
 
     card_cls = CARDS.get(ns.config, cls) if ns.config else cls
@@ -308,7 +322,7 @@ def parse_args(cls, argv=None, base_card: Optional[str] = None):
     for f in fields(cls):
         v = getattr(ns, f.name, None)
         if v is not None:
-            if get_origin(f.type) in (tuple, Tuple):
+            if get_origin(hints.get(f.name)) is tuple:
                 v = tuple(v)
             setattr(args, f.name, v)
     return args
