@@ -1,0 +1,240 @@
+"""CondMDI evaluation harness (reference eval/eval_humanml_condmdi.py).
+
+Protocol parity (paper harness, :443-505): batch 32 × 196 frames; per
+replication build a generated-motion dataset by sampling the model over the
+test set with keyframe conditioning, then compute
+  matching score / R-precision (top-1/2/3)   (:20 evaluate_matching_score)
+  FID                                        (:121)
+  diversity (300)                            (:146)
+  multimodality (optional)                   (:159)
+  + trajectory error, keyframe error, skating ratio from the sampler pass
+and aggregate mean ± 1.96σ/√n over replications (:208).
+
+The generated-dataset stage (reference CompMDMGeneratedDatasetCondMDI,
+comp_v6_model_dataset_condmdi.py:24) runs here as a batched JAX pipeline:
+rel→abs GT conversion, mask building, the jitted sampling scan, per-sample
+kps/keyframe/skate metrics, abs→rel back-conversion for the T2M evaluator —
+all vmapped over the batch instead of per-sample python loops.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from condmdi_tpu.data.convert import abs3d_to_rel, rel_to_abs3d, sample_to_motion
+from condmdi_tpu.evals import metrics as M
+from condmdi_tpu.utils.assets import NormStats
+
+Array = jax.Array
+
+
+def compute_kps_error(
+    cur_motion: np.ndarray,  # [B, T, 22, 3]
+    gt_motion: np.ndarray,  # [B, T, 22, 3]
+    keyframe_mask: np.ndarray,  # [B, T] bool
+    traj_only: bool = True,
+    max_keyframes: int = 196,
+):
+    """Keyframe position error (reference compute_kps_error_arbitrary,
+    condition.py:130): per keyframe, joint-mean of the L2 error — xz root
+    only (traj) or all joints (keyframe error). Returns (err [B, K], num_kf
+    [B]) with zero padding."""
+    B, T = keyframe_mask.shape
+    K = min(max_keyframes, T)
+    errs = np.zeros((B, K), np.float32)
+    num_kf = np.zeros((B,), np.int32)
+    if traj_only:
+        a = cur_motion[:, :, 0:1, :][..., [0, 2]]
+        b = gt_motion[:, :, 0:1, :][..., [0, 2]]
+    else:
+        a, b = cur_motion, gt_motion
+    per_frame = np.linalg.norm(a - b, axis=-1).mean(axis=-1)  # [B, T]
+    for i in range(B):
+        kf = np.where(keyframe_mask[i])[0][:K]
+        errs[i, : len(kf)] = per_frame[i, kf]
+        num_kf[i] = len(kf)
+    return errs, num_kf
+
+
+@dataclass
+class EvalConfig:
+    edit_mode: str = "benchmark_sparse"
+    transition_length: int = 10
+    editable_features: str = "pos_rot_vel"
+    n_keyframes: int = 5
+    guidance_param: float = 2.5
+    replication_times: int = 20
+    diversity_times: int = 300
+    mm_num_times: int = 0
+    run_mm: bool = False
+    max_frames: int = 196
+    batch_size: int = 32
+
+
+@dataclass
+class GeneratedBatch:
+    motions_rel: np.ndarray  # [B, T, 263] normalized relative (T2M space)
+    lengths: np.ndarray
+    captions: list
+    tokens: list
+    dist_error: np.ndarray
+    keyframe_error: np.ndarray
+    num_keyframes: np.ndarray
+    skate_ratio: np.ndarray
+
+
+def generate_eval_batch(
+    pipe,
+    batch: dict,
+    rng: Array,
+    cfg: EvalConfig,
+    abs_stats: NormStats,
+    rel_stats: NormStats,
+    model_is_abs: bool = True,
+) -> GeneratedBatch:
+    """One test batch → generated motions + CondMDI metrics.
+
+    `batch` carries RELATIVE-normalized GT motion (evaluator space) exactly
+    like the reference 'eval' loader; the model consumes the abs variant.
+    """
+    from condmdi_tpu.training.keyframes import get_keyframes_mask
+
+    B, T, F = batch["motion"].shape
+    lengths = jnp.asarray(batch["lengths"])
+
+    motion_rel = jnp.asarray(batch["motion"])
+    motion_abs = rel_to_abs3d(motion_rel, rel_stats, abs_stats) if model_is_abs else motion_rel
+
+    rng, mask_rng, sample_rng = jax.random.split(rng, 3)
+    obs_mask = get_keyframes_mask(
+        mask_rng, lengths, T,
+        edit_mode=cfg.edit_mode,
+        trans_length=cfg.transition_length,
+        feature_mode=cfg.editable_features,
+        n_keyframes=cfg.n_keyframes,
+    )
+    obs_mask = obs_mask & jnp.asarray(batch["time_mask"])[..., None]
+
+    y = {"text_embed": jnp.asarray(batch["text_embed"])}
+    sample = pipe.sample(
+        sample_rng, (B, T, F), y,
+        guidance_param=cfg.guidance_param,
+        obs_x0=motion_abs, obs_mask=obs_mask,
+    )
+
+    stats = abs_stats if model_is_abs else rel_stats
+    cur_joints = np.asarray(sample_to_motion(sample, stats))
+    gt_joints = np.asarray(sample_to_motion(motion_abs, stats)) if model_is_abs else (
+        np.asarray(sample_to_motion(motion_rel, rel_stats))
+    )
+
+    kf_frames = np.asarray(obs_mask.any(axis=-1))
+    dist_error, num_kf = compute_kps_error(cur_joints, gt_joints, kf_frames, traj_only=True)
+    keyframe_error, _ = compute_kps_error(cur_joints, gt_joints, kf_frames, traj_only=False)
+    skate_ratio, _ = M.calculate_skating_ratio(cur_joints)
+
+    motions_rel = (
+        np.asarray(abs3d_to_rel(sample, abs_stats, rel_stats)) if model_is_abs
+        else np.asarray(sample)
+    )
+    return GeneratedBatch(
+        motions_rel=motions_rel,
+        lengths=np.asarray(batch["lengths"]),
+        captions=batch.get("text", [""] * B),
+        tokens=batch.get("tokens", [[] for _ in range(B)]),
+        dist_error=dist_error,
+        keyframe_error=keyframe_error,
+        num_keyframes=num_kf,
+        skate_ratio=skate_ratio,
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Replication-level metric computation
+# --------------------------------------------------------------------------- #
+def evaluate_matching_score(evaluator, batches, word_vectorizer):
+    """Matching score + R-precision over generated batches (ref :20-101)."""
+    from condmdi_tpu.data.word_vectorizer import tokens_to_embeddings
+
+    match_sum, top_k_sum, n = 0.0, np.zeros(3), 0
+    all_motion_emb = []
+    traj_metrics, kf_errors, skate = [], [], []
+    for gb in batches:
+        word, pos, cap_lens = tokens_to_embeddings(gb.tokens, word_vectorizer)
+        text_emb, motion_emb = evaluator.get_co_embeddings(
+            word, pos, cap_lens, gb.motions_rel, gb.lengths
+        )
+        match_sum += M.calculate_matching_score(text_emb, motion_emb, sum_all=True)
+        top_k_sum += M.calculate_R_precision(text_emb, motion_emb, 3, sum_all=True)
+        n += len(text_emb)
+        all_motion_emb.append(motion_emb)
+        traj_metrics.append(
+            M.calculate_trajectory_error(gb.dist_error, gb.num_keyframes)
+        )
+        kf_errors.append(M.calculate_keyframe_error(gb.keyframe_error, gb.num_keyframes))
+        skate.append(gb.skate_ratio.mean())
+    return dict(
+        matching_score=match_sum / n,
+        r_precision=top_k_sum / n,
+        motion_embeddings=np.concatenate(all_motion_emb, axis=0),
+        traj_error=np.mean(np.stack(traj_metrics), axis=0),
+        keyframe_error=float(np.mean(kf_errors)),
+        skating_ratio=float(np.mean(skate)),
+    )
+
+
+def evaluate_gt_embeddings(evaluator, gt_batches):
+    embs = [
+        evaluator.get_motion_embeddings(b["motion"], b["lengths"]) for b in gt_batches
+    ]
+    return np.concatenate(embs, axis=0)
+
+
+def evaluation(
+    evaluator,
+    gt_batches,
+    generate_fn: Callable[[int], list],
+    cfg: EvalConfig,
+    word_vectorizer,
+    log_file: Optional[str] = None,
+) -> dict:
+    """Full replication loop (reference evaluation:215 → :332)."""
+    gt_emb = evaluate_gt_embeddings(evaluator, gt_batches)
+    gt_mu, gt_cov = M.calculate_activation_statistics(gt_emb)
+
+    results = {
+        "matching_score": [], "r_precision": [], "fid": [], "diversity": [],
+        "traj_error": [], "keyframe_error": [], "skating_ratio": [],
+    }
+    for rep in range(cfg.replication_times):
+        batches = generate_fn(rep)
+        scores = evaluate_matching_score(evaluator, batches, word_vectorizer)
+        mu, cov = M.calculate_activation_statistics(scores["motion_embeddings"])
+        fid = M.calculate_frechet_distance(gt_mu, gt_cov, mu, cov)
+        div_times = min(cfg.diversity_times, len(scores["motion_embeddings"]) - 1)
+        diversity = M.calculate_diversity(scores["motion_embeddings"], div_times)
+        results["matching_score"].append(scores["matching_score"])
+        results["r_precision"].append(scores["r_precision"])
+        results["fid"].append(fid)
+        results["diversity"].append(diversity)
+        results["traj_error"].append(scores["traj_error"])
+        results["keyframe_error"].append(scores["keyframe_error"])
+        results["skating_ratio"].append(scores["skating_ratio"])
+
+    summary = OrderedDict()
+    for key, vals in results.items():
+        mean, ci = M.get_metric_statistics(np.asarray(vals), cfg.replication_times)
+        summary[key] = dict(mean=np.asarray(mean).tolist(), conf=np.asarray(ci).tolist())
+    if log_file:
+        import json
+
+        with open(log_file, "w") as fh:
+            json.dump(summary, fh, indent=2)
+    return summary
