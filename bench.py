@@ -31,7 +31,9 @@ def main() -> None:
     from condmdi_tpu.diffusion.sampling import SamplerConfig, ddpm_sample_loop
     from condmdi_tpu.models.unet import MDM_UNET
 
-    B, T, F = 32, 196, 263
+    import os
+    B = int(os.environ.get("BENCH_BATCH", "32"))
+    T, F = 196, 263
     STEPS = 1000
 
     model = MDM_UNET(

@@ -92,9 +92,18 @@ def ddpm_sample_loop(
     noise: Optional[Array] = None,
     inpaint: Optional[InpaintingState] = None,
     cond_fn: Optional[CondFn] = None,
+    cond_loss_fn: Optional[Callable[[Array, Array], Array]] = None,
+    cond_scale: float = 1.0,
     sampler: SamplerConfig = SamplerConfig(),
 ) -> Array:
-    """Ancestral DDPM sampling — the reference p_sample_loop as one scan."""
+    """Ancestral DDPM sampling — the reference p_sample_loop as one scan.
+
+    cond_fn: Song-style score conditioning — replaces pred_xstart.
+    cond_loss_fn(pred_xstart, t): GMD-style mean-shift guidance — the
+    gradient of -loss w.r.t. x_t flows THROUGH the denoiser (reference
+    p_sample_with_grad + condition_mean_with_grad, gaussian_diffusion.py:715,
+    :580); the posterior mean is shifted by variance × grad × cond_scale.
+    """
     B = shape[0]
     rng, init_rng = jax.random.split(rng)
     x = noise if noise is not None else jax.random.normal(init_rng, shape)
@@ -111,7 +120,15 @@ def ddpm_sample_loop(
         x, rng = carry
         rng, noise_rng, imp_rng = jax.random.split(rng, 3)
         t = jnp.full((B,), i, dtype=jnp.int32)
-        out = p_mean_variance(denoise_fn, sched, cfg, x, t, inpaint=pm_inpaint)
+        if cond_loss_fn is not None:
+            def neg_loss(z):
+                out = p_mean_variance(denoise_fn, sched, cfg, z, t, inpaint=pm_inpaint)
+                return -cond_loss_fn(out["pred_xstart"], sched.model_t(t)), out
+
+            grad, out = jax.grad(neg_loss, has_aux=True)(x)
+            out = {**out, "mean": out["mean"] + out["variance"] * grad * cond_scale}
+        else:
+            out = p_mean_variance(denoise_fn, sched, cfg, x, t, inpaint=pm_inpaint)
         if cond_fn is not None:
             new_xstart = cond_fn(out["pred_xstart"], sched.model_t(t))
             mean, _, _ = q_posterior_mean_variance(sched, new_xstart, x, t)
