@@ -352,6 +352,7 @@ def training_losses(
     obs_mask: Optional[Array] = None,
     zero_keyframe_loss: bool = False,
     keyframe_conditioned: bool = False,
+    get_xyz: Optional[Callable[[Array], Array]] = None,
 ) -> dict[str, Array]:
     """MSE-family training loss (per-sample [B] terms).
 
@@ -420,6 +421,33 @@ def training_losses(
             target, model_output, kf_mask, weights, over_keyframes=True
         )
 
+    # geometric SMPL losses (reference :2001 rcxyz, :2030 fc) — active for
+    # rot6d action datasets; get_xyz = Rotation2xyz closure (models/smpl.py)
+    target_xyz = output_xyz = None
+    if cfg.lambda_rcxyz > 0.0 and get_xyz is not None:
+        target_xyz = get_xyz(target)
+        output_xyz = get_xyz(model_output)
+        tx = target_xyz.reshape(B, T, -1)
+        ox = output_xyz.reshape(B, T, -1)
+        terms["rcxyz_mse"] = masked_l2(tx, ox, time_mask)
+
+    if cfg.lambda_fc > 0.0 and get_xyz is not None:
+        if target_xyz is None:
+            target_xyz = get_xyz(target)
+            output_xyz = get_xyz(model_output)
+        # feet: L_Ankle 7, R_Ankle 8, L_Foot 10, R_Foot 11 (reference :2043)
+        feet = (7, 10, 8, 11)
+        gt_feet = target_xyz[:, :, feet, :]  # [B, T, 4, 3]
+        gt_vel = jnp.linalg.norm(gt_feet[:, 1:] - gt_feet[:, :-1], axis=-1)
+        fc_mask = (gt_vel <= 0.01)[..., None]  # [B, T-1, 4, 1]
+        pred_feet = output_xyz[:, :, feet, :]
+        pred_vel = (pred_feet[:, 1:] - pred_feet[:, :-1]) * fc_mask
+        terms["fc"] = masked_l2(
+            pred_vel.reshape(B, T - 1, -1),
+            jnp.zeros_like(pred_vel).reshape(B, T - 1, -1),
+            time_mask[:, 1:],
+        )
+
     if cfg.lambda_vel > 0.0:
         target_vel = target[:, 1:] - target[:, :-1]
         out_vel = model_output[:, 1:] - model_output[:, :-1]
@@ -433,6 +461,8 @@ def training_losses(
         terms["rot_mse"]
         + terms.get("vb", 0.0)
         + cfg.lambda_vel * terms.get("vel_mse", 0.0)
+        + cfg.lambda_rcxyz * terms.get("rcxyz_mse", 0.0)
+        + cfg.lambda_fc * terms.get("fc", 0.0)
     )
 
     if cfg.time_weighted_loss:
