@@ -25,6 +25,31 @@ Array = jax.Array
 DATA_AXIS = "dp"
 
 
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host init (replaces the reference's dead setup_dist stub,
+    dist_util.py:18-41): jax.distributed over DCN. No-op single-host or when
+    already initialized; env-driven (`JAX_COORDINATOR_ADDRESS` etc.) when
+    args are omitted."""
+    import jax
+
+    if num_processes in (None, 1) and coordinator_address is None and (
+        "JAX_COORDINATOR_ADDRESS" not in __import__("os").environ
+    ):
+        return
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError:
+        pass  # already initialized
+
+
 def make_mesh(devices: Optional[list] = None, axis_name: str = DATA_AXIS) -> Mesh:
     """1-D data-parallel mesh over all (or the given) devices."""
     devices = devices if devices is not None else jax.devices()
