@@ -82,7 +82,9 @@ def _pallas_self_attention(q: Array, k: Array, v: Array, num_heads: int) -> Arra
 # --------------------------------------------------------------------------- #
 # XLA fallback (CPU tests, odd shapes)
 # --------------------------------------------------------------------------- #
-def _xla_attention(q: Array, k: Array, v: Array, num_heads: int) -> Array:
+def _xla_attention(
+    q: Array, k: Array, v: Array, num_heads: int, causal: bool = False
+) -> Array:
     B, Tq, D = q.shape
     Tk = k.shape[1]
     hd = D // num_heads
@@ -90,6 +92,10 @@ def _xla_attention(q: Array, k: Array, v: Array, num_heads: int) -> Array:
     kh = k.reshape(B, Tk, num_heads, hd).transpose(0, 2, 1, 3)
     vh = v.reshape(B, Tk, num_heads, hd).transpose(0, 2, 1, 3)
     scores = jnp.einsum("bhqd,bhkd->bhqk", qh, kh) / np.sqrt(hd)
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (Tq, Tk), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (Tq, Tk), 1)
+        scores = jnp.where(col <= row, scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs, vh)
     return out.transpose(0, 2, 1, 3).reshape(B, Tq, D)
