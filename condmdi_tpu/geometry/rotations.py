@@ -151,8 +151,13 @@ def matrix_to_euler_angles(matrix: Array, convention: str) -> Array:
 
 
 def axis_angle_to_quaternion(axis_angle: Array) -> Array:
-    """(*, 3) exponential map → (*, 4) wxyz, Taylor-guarded near zero."""
-    angles = jnp.linalg.norm(axis_angle, axis=-1, keepdims=True)
+    """(*, 3) exponential map → (*, 4) wxyz, Taylor-guarded near zero.
+
+    Gradient-safe at the zero rotation: the norm uses sqrt(x²+ε²) so autodiff
+    through identity poses (e.g. SMPLify init) never produces NaNs.
+    """
+    sq = jnp.sum(axis_angle * axis_angle, axis=-1, keepdims=True)
+    angles = jnp.sqrt(sq + 1e-24)
     half = angles * 0.5
     small = jnp.abs(angles) < 1e-6
     # sin(x/2)/x, with series 0.5 - x^2/48 for small x
