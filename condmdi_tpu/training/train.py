@@ -114,10 +114,35 @@ class TrainLoop:
 
                 if step > 0 and step % self.tcfg.save_interval == 0:
                     self.save(step)
+                    self.evaluate(step)
                     if os.environ.get("DIFFUSION_TRAINING_TEST", ""):
                         return
                 step += 1
         self.save(step)
+
+    def evaluate(self, step: int):
+        """In-training eval (reference TrainLoop.evaluate:255 — the humanml
+        path there raises NotImplementedError; here it runs a debug-size
+        pass of the real harness)."""
+        if not getattr(self.args, "eval_during_training", False):
+            return
+        try:
+            from condmdi_tpu.evals.run import main as eval_main
+
+            summary = eval_main([
+                "--eval_mode", "debug",
+                "--model_path", str(self.save_dir / f"ckpt_{step:09d}"),
+                "--num_frames", str(self.args.num_frames),
+                "--diffusion_steps", str(self.args.diffusion_steps),
+                "--num_samples", str(self.args.eval_num_samples),
+                "--guidance_param", "1.0",
+            ])
+            self.logger.logkvs(
+                {f"eval/{k}": float(np.ravel(v["mean"])[0]) for k, v in summary.items()}
+            )
+            self.logger.dumpkvs()
+        except Exception as e:  # eval must never kill training
+            print(f"in-training eval failed: {e}")
 
     def save(self, step: int):
         from condmdi_tpu.utils import checkpoint as ckpt
