@@ -32,7 +32,7 @@ def main() -> None:
     from condmdi_tpu.models.unet import MDM_UNET
 
     import os
-    B = int(os.environ.get("BENCH_BATCH", "32"))
+    B = int(os.environ.get("BENCH_BATCH", "64"))
     T, F = 196, 263
     STEPS = 1000
 
