@@ -477,6 +477,51 @@ def training_losses(
     return terms
 
 
+def calc_bpd_loop(
+    denoise_fn: DenoiseFn,
+    sched: DiffusionSchedule,
+    cfg: DiffusionConfig,
+    x_start: Array,
+    rng: Array,
+) -> dict[str, Array]:
+    """Full variational-bound evaluation (reference calc_bpd_loop:2152):
+    per-timestep VLB terms + x0 MSE, prior KL, total bpd — as one scan
+    instead of the reference's T-iteration Python loop."""
+    B = x_start.shape[0]
+    S = sched.num_timesteps
+
+    def step(rng, ti):
+        rng, k = jax.random.split(rng)
+        t = jnp.full((B,), ti, jnp.int32)
+        noise = jax.random.normal(k, x_start.shape, x_start.dtype)
+        x_t = q_sample(sched, x_start, t, noise)
+        out = vb_terms_bpd(denoise_fn, sched, cfg, x_start, x_t, t)
+        xstart_mse = mean_flat((out["pred_xstart"] - x_start) ** 2)
+        eps = predict_eps_from_xstart(sched, x_t, t, out["pred_xstart"])
+        mse = mean_flat((eps - noise) ** 2)
+        return rng, (out["output"], xstart_mse, mse)
+
+    rng, (vb, xstart_mse, mse) = jax.lax.scan(
+        step, rng, jnp.arange(S - 1, -1, -1)
+    )
+    vb = vb.T  # [B, S] (t descending)
+    # prior KL: KL(q(x_T | x_0) || N(0, I))
+    qt_mean, _, qt_log_var = q_mean_variance(
+        sched, x_start, jnp.full((B,), S - 1, jnp.int32)
+    )
+    prior_kl = mean_flat(
+        normal_kl(qt_mean, qt_log_var, 0.0, 0.0)
+    ) / np.log(2.0)
+    total_bpd = vb.sum(axis=1) + prior_kl
+    return {
+        "total_bpd": total_bpd,
+        "prior_bpd": prior_kl,
+        "vb": vb,
+        "xstart_mse": xstart_mse.T,
+        "mse": mse.T,
+    }
+
+
 class GaussianDiffusion:
     """Thin OO veneer bundling (schedule, config) for API familiarity.
 
