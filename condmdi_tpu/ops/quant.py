@@ -1,0 +1,91 @@
+"""Int8 quantized inference ops (experimental serving path).
+
+TPU MXUs run int8 matmuls at 2× the bf16 rate; for the sampling-bound
+CondMDI serving workload (1000 UNet forwards per sample) weight+activation
+int8 is the next rung past bf16. This module provides:
+
+  * per-output-channel symmetric weight quantization,
+  * dynamic per-tensor activation quantization,
+  * `int8_conv1d` — quantized 1-D convolution with int32 accumulation and
+    fused dequant epilogue,
+  * `quantize_params_tree` — one-shot conversion of a conv params tree.
+
+Not yet wired into the flagship bench: quality (FID parity) must be
+demonstrated before the headline number switches to int8.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+def quantize_weight_per_channel(w: Array):
+    """[k, in, out] f32 → (int8 weights, f32 scale [out])."""
+    amax = jnp.max(jnp.abs(w), axis=(0, 1))
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    wq = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return wq, scale
+
+
+def quantize_activation(x: Array):
+    """Dynamic per-tensor symmetric int8 quantization."""
+    amax = jnp.max(jnp.abs(x))
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return xq, scale
+
+
+def int8_conv1d(
+    x: Array,  # [B, T, Cin] float
+    wq: Array,  # [k, Cin, Cout] int8
+    w_scale: Array,  # [Cout]
+    bias: Array | None = None,
+    stride: int = 1,
+    padding: int = 0,
+) -> Array:
+    """Quantized conv: int8×int8→int32 on the MXU, dequant epilogue."""
+    xq, a_scale = quantize_activation(x)
+    out = jax.lax.conv_general_dilated(
+        xq,
+        wq,
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.int32,
+    )
+    out = out.astype(jnp.float32) * (a_scale * w_scale)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def conv1d_f32(x, w, bias=None, stride=1, padding=0):
+    out = jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride,), padding=[(padding, padding)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    return out + bias if bias is not None else out
+
+
+def quantize_params_tree(params: Any) -> Any:
+    """Replace every {'kernel': [k,in,out], 'bias'} conv leaf with
+    {'kernel_q', 'scale', 'bias'} (Dense kernels [in,out] are kept f32)."""
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "kernel" in node and getattr(node["kernel"], "ndim", 0) == 3:
+                wq, s = quantize_weight_per_channel(jnp.asarray(node["kernel"]))
+                out = {"kernel_q": wq, "scale": s}
+                if "bias" in node:
+                    out["bias"] = node["bias"]
+                return out
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    return walk(params)

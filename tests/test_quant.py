@@ -1,0 +1,53 @@
+"""Int8 quantized conv: numeric closeness + params-tree conversion."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from condmdi_tpu.ops.quant import (
+    conv1d_f32,
+    int8_conv1d,
+    quantize_activation,
+    quantize_params_tree,
+    quantize_weight_per_channel,
+)
+
+RNG = np.random.default_rng(0)
+
+
+class TestQuantOps:
+    def test_weight_quant_round_trip(self):
+        w = jnp.asarray(RNG.standard_normal((5, 16, 32)).astype(np.float32) * 0.1)
+        wq, s = quantize_weight_per_channel(w)
+        assert wq.dtype == jnp.int8
+        deq = wq.astype(jnp.float32) * s
+        rel = np.abs(np.asarray(deq - w)).max() / np.abs(np.asarray(w)).max()
+        assert rel < 0.01
+
+    def test_int8_conv_close_to_f32(self):
+        x = jnp.asarray(RNG.standard_normal((2, 24, 16)).astype(np.float32))
+        w = jnp.asarray(RNG.standard_normal((5, 16, 32)).astype(np.float32) * 0.05)
+        b = jnp.asarray(RNG.standard_normal((32,)).astype(np.float32) * 0.1)
+        ref = np.asarray(conv1d_f32(x, w, b, padding=2))
+        wq, s = quantize_weight_per_channel(w)
+        got = np.asarray(int8_conv1d(x, wq, s, b, padding=2))
+        rel = np.abs(got - ref).mean() / np.abs(ref).mean()
+        assert rel < 0.02, rel
+
+    def test_activation_quant_saturation(self):
+        x = jnp.asarray([[100.0, -100.0, 0.5]])
+        xq, s = quantize_activation(x)
+        assert int(xq.max()) == 127 and int(xq.min()) == -127
+
+    def test_params_tree_conversion(self):
+        tree = {
+            "block1": {"conv": {"kernel": jnp.zeros((5, 8, 8)) + 0.1, "bias": jnp.zeros(8)}},
+            "time_mlp": {"kernel": jnp.zeros((8, 16)), "bias": jnp.zeros(16)},
+        }
+        q = quantize_params_tree(tree)
+        assert "kernel_q" in q["block1"]["conv"]
+        assert q["block1"]["conv"]["kernel_q"].dtype == jnp.int8
+        # dense kernel untouched
+        assert "kernel" in q["time_mlp"]
