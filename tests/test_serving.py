@@ -1,0 +1,67 @@
+"""Serving runtime: micro-batching, bucketing, per-request keyframes."""
+
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from condmdi_tpu.diffusion import DiffusionConfig, DiffusionSchedule, get_named_beta_schedule
+from condmdi_tpu.diffusion.sampling import SamplerConfig
+from condmdi_tpu.models.unet import MDM_UNET
+from condmdi_tpu.sampling.pipeline import SamplePipeline
+from condmdi_tpu.serving import MotionRequest, MotionServer
+
+T, F = 28, 263
+
+
+@pytest.fixture(scope="module")
+def server():
+    model = MDM_UNET(
+        njoints=F, latent_dim=16, dim_mults=(1, 2), keyframe_conditioned=True,
+        pad_frames_to=T, zero=False,
+    )
+    x = jnp.zeros((1, T, F))
+    params = model.init(
+        jax.random.key(0), x, jnp.zeros((1,), jnp.int32),
+        {"text_embed": jnp.zeros((1, 512))},
+        obs_x0=x, obs_mask=jnp.zeros((1, T, F), bool),
+    )
+    sched = DiffusionSchedule.create(get_named_beta_schedule("cosine", 4))
+
+    def apply_fn(x, t, y, **kw):
+        return model.apply(params, x, t, y, **kw)
+
+    pipe = SamplePipeline(apply_fn, sched, DiffusionConfig(), SamplerConfig())
+    srv = MotionServer(pipe, T, F, max_batch=4, max_wait_ms=30)
+    yield srv
+    srv.shutdown()
+
+
+class TestServer:
+    def test_single_request(self, server):
+        out = server.generate(np.zeros(512, np.float32))
+        assert out.shape == (T, F)
+        assert np.isfinite(out).all()
+
+    def test_concurrent_requests_batch(self, server):
+        reqs = [
+            server.submit(MotionRequest(text_embed=np.zeros(512, np.float32), seed=7))
+            for _ in range(5)
+        ]
+        outs = [r.result(timeout=120) for r in reqs]
+        assert all(o.shape == (T, F) for o in outs)
+
+    def test_keyframe_request(self, server):
+        obs = np.random.default_rng(0).standard_normal((T, F)).astype(np.float32)
+        mask = np.zeros((T, F), bool)
+        mask[::7] = True
+        out = server.generate(np.zeros(512, np.float32), obs_x0=obs, obs_mask=mask)
+        assert out.shape == (T, F)
+
+    def test_bucketing(self, server):
+        assert server._bucket(1) == 1
+        assert server._bucket(3) == 4
+        assert server._bucket(9) == 4  # clamped to max_batch
