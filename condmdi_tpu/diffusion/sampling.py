@@ -94,6 +94,8 @@ def ddpm_sample_loop(
     cond_fn: Optional[CondFn] = None,
     cond_loss_fn: Optional[Callable[[Array, Array], Array]] = None,
     cond_scale: float = 1.0,
+    skip_timesteps: int = 0,
+    init_image: Optional[Array] = None,
     sampler: SamplerConfig = SamplerConfig(),
 ) -> Array:
     """Ancestral DDPM sampling — the reference p_sample_loop as one scan.
@@ -103,10 +105,17 @@ def ddpm_sample_loop(
     gradient of -loss w.r.t. x_t flows THROUGH the denoiser (reference
     p_sample_with_grad + condition_mean_with_grad, gaussian_diffusion.py:715,
     :580); the posterior mean is shifted by variance × grad × cond_scale.
+    skip_timesteps / init_image: partial denoising from a noised init image
+    (reference p_sample_loop_progressive:1251-1260) — the scan starts at
+    t = S-1-skip_timesteps with x = q_sample(init_image, t_start, noise).
     """
     B = shape[0]
     rng, init_rng = jax.random.split(rng)
     x = noise if noise is not None else jax.random.normal(init_rng, shape)
+    if skip_timesteps:
+        t_start = sched.num_timesteps - 1 - skip_timesteps
+        init = init_image if init_image is not None else jnp.zeros(shape, x.dtype)
+        x = q_sample(sched, init, jnp.full((B,), t_start, jnp.int32), x)
 
     marginal = (
         inpaint is not None
@@ -145,7 +154,7 @@ def ddpm_sample_loop(
             sample = _marginal_impute(sched, inpaint, sample, t - 1, imp_rng)
         return (sample, rng), (out["pred_xstart"] if sampler.return_trajectory else None)
 
-    ts = jnp.arange(sched.num_timesteps - 1, -1, -1)
+    ts = jnp.arange(sched.num_timesteps - 1 - skip_timesteps, -1, -1)
     (x, _), traj = jax.lax.scan(step, (x, rng), ts)
     if sampler.return_trajectory:
         return x, traj

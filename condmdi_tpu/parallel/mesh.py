@@ -77,3 +77,29 @@ def replicate(mesh: Mesh, tree: Any) -> Any:
     """Replicate a pytree (params, opt state) across the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_params_fsdp(mesh: Mesh, tree: Any, min_size: int = 2**16) -> Any:
+    """FSDP/ZeRO-style parameter sharding: each large leaf is split along
+    its largest mesh-divisible axis over 'dp'; XLA inserts the all-gathers
+    at use sites. Small leaves stay replicated.
+
+    Optional for this workload (CondMDI UNet-XL is ~180 MB — replication is
+    fine on any TPU), but gives the memory headroom story for bigger batch /
+    longer-context variants without touching the train step.
+    """
+    n = mesh.devices.size
+
+    def put(x):
+        if not isinstance(x, jax.Array) or x.size < min_size:
+            return jax.device_put(x, NamedSharding(mesh, P()))
+        # choose the largest axis divisible by the mesh size
+        axes = [i for i, d in enumerate(x.shape) if d % n == 0]
+        if not axes:
+            return jax.device_put(x, NamedSharding(mesh, P()))
+        ax = max(axes, key=lambda i: x.shape[i])
+        spec = [None] * x.ndim
+        spec[ax] = DATA_AXIS
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+    return jax.tree_util.tree_map(put, tree)

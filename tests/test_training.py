@@ -150,3 +150,24 @@ class TestDataParallel:
         l1 = jax.tree_util.tree_leaves(s1.params)[0]
         l8 = jax.tree_util.tree_leaves(s8.params)[0]
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l8), atol=2e-4)
+
+
+class TestFSDP:
+    def test_fsdp_sharded_step_matches_replicated(self):
+        from condmdi_tpu.parallel import make_mesh, replicate, shard_batch, shard_params_fsdp
+        import dataclasses
+
+        _, state, step_fn, batch = setup()
+        mesh = make_mesh()
+        s_rep = replicate(mesh, state)
+        b = shard_batch(mesh, batch)
+        r1, m1 = step_fn(s_rep, b, jax.random.key(0))
+
+        _, state2, _, _ = setup()
+        s_fsdp = dataclasses.replace(
+            replicate(mesh, state2),
+            params=shard_params_fsdp(mesh, state2.params, min_size=1024),
+            ema_params=shard_params_fsdp(mesh, state2.ema_params, min_size=1024),
+        )
+        r2, m2 = step_fn(s_fsdp, b, jax.random.key(0))
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=2e-4)
