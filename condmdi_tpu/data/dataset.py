@@ -56,7 +56,12 @@ class Text2MotionDataset:
 
     def __init__(self, cfg: DatasetConfig, stats: Optional[NormStats] = None):
         self.cfg = cfg
-        root = Path(cfg.data_dir or "./dataset/HumanML3D")
+        if cfg.name == "kit":
+            # KIT: 251-dim, 21 joints, min length 24 (reference dataset.py:255)
+            cfg.min_motion_length = min(cfg.min_motion_length, 24)
+            root = Path(cfg.data_dir or "./dataset/KIT-ML")
+        else:
+            root = Path(cfg.data_dir or "./dataset/HumanML3D")
         suffix = "_abs_3d" if cfg.abs_3d else ""
         self.motion_dir = root / ("new_joint_vecs" + ("_abs_3d" if cfg.abs_3d else ""))
         if not self.motion_dir.is_dir():
@@ -68,7 +73,8 @@ class Text2MotionDataset:
                 f"HumanML3D split file {split_file} not found — download the "
                 "dataset (reference prepare/*.sh) or use SyntheticMotionDataset"
             )
-        self.stats = stats or load_norm_stats("abs3d" if cfg.abs_3d else "t2m")
+        kind = "kit" if cfg.name == "kit" else ("abs3d" if cfg.abs_3d else "t2m")
+        self.stats = stats or load_norm_stats(kind)
 
         ids = [l.strip() for l in open(split_file) if l.strip()]
         self.entries = []

@@ -48,7 +48,7 @@ def load_norm_stats(kind: str = "abs3d", assets: Optional[Path] = None) -> NormS
     absent so the pipeline stays runnable in asset-free environments.
     """
     assets = assets or find_assets_dir()
-    dim = 263
+    dim = 251 if kind == "kit" else 263
     if assets is not None:
         try:
             if kind == "abs3d":
@@ -57,6 +57,9 @@ def load_norm_stats(kind: str = "abs3d", assets: Optional[Path] = None) -> NormS
             elif kind == "t2m":
                 mean = np.load(assets / "t2m_mean.npy")
                 std = np.load(assets / "t2m_std.npy")
+            elif kind == "kit":
+                mean = np.load(assets / "kit_mean.npy")
+                std = np.load(assets / "kit_std.npy")
             else:
                 raise ValueError(kind)
             return NormStats(mean.astype(np.float32), std.astype(np.float32))
