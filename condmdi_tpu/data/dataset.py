@@ -75,6 +75,13 @@ class Text2MotionDataset:
             )
         kind = "kit" if cfg.name == "kit" else ("abs3d" if cfg.abs_3d else "t2m")
         self.stats = stats or load_norm_stats(kind)
+        self.rand_proj = None
+        if cfg.use_random_projection:
+            from condmdi_tpu.data.projection import RandomProjection
+
+            self.rand_proj = RandomProjection.load_or_create(
+                scale=cfg.random_projection_scale
+            )
 
         ids = [l.strip() for l in open(split_file) if l.strip()]
         self.entries = []
@@ -155,9 +162,16 @@ class Text2MotionDataset:
     def normalize(self, x: np.ndarray) -> np.ndarray:
         scale, shift = self.cfg.std_scale_shift
         std = self.stats.std[: x.shape[-1]] * scale + shift
-        return (x - self.stats.mean[: x.shape[-1]]) / std
+        x = (x - self.stats.mean[: x.shape[-1]]) / std
+        # project AFTER normalization (reference __getitem__:481-489; no
+        # projection in eval/gt modes)
+        if self.rand_proj is not None and self.cfg.hml_mode not in ("eval", "gt"):
+            x = self.rand_proj(x)
+        return x
 
     def denormalize(self, x: np.ndarray) -> np.ndarray:
+        if self.rand_proj is not None and self.cfg.hml_mode not in ("eval", "gt"):
+            x = self.rand_proj.inverse(x)
         scale, shift = self.cfg.std_scale_shift
         std = self.stats.std[: x.shape[-1]] * scale + shift
         return x * std + self.stats.mean[: x.shape[-1]]
