@@ -25,6 +25,22 @@ def sinusoidal_table(max_len: int, d_model: int, dtype=np.float32) -> np.ndarray
     return pe.astype(dtype)
 
 
+def timestep_embedding(timesteps: Array, dim: int, max_period: int = 10000) -> Array:
+    """Guided-diffusion style sinusoidal timestep embedding
+    (reference diffusion/nn.py:110): [cos|sin] halves over log-spaced
+    frequencies. Distinct from the transformer PE table used by MDM's
+    TimestepEmbedder — both exist in the reference; both are provided."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -np.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
 class PositionalEncoding(nn.Module):
     """Adds the sinusoidal table over the time axis of [B, T, D] input."""
 
