@@ -204,8 +204,14 @@ def evaluation(
     cfg: EvalConfig,
     word_vectorizer,
     log_file: Optional[str] = None,
+    generate_mm_fn: Optional[Callable[[int], list]] = None,
 ) -> dict:
-    """Full replication loop (reference evaluation:215 → :332)."""
+    """Full replication loop (reference evaluation:215 → :332).
+
+    generate_mm_fn(rep): when cfg.run_mm, returns the SAME batches sampled
+    `mm_num_times` times (list of lists of GeneratedBatch) for the
+    multimodality metric (reference :159-206).
+    """
     gt_emb = evaluate_gt_embeddings(evaluator, gt_batches)
     gt_mu, gt_cov = M.calculate_activation_statistics(gt_emb)
 
@@ -213,6 +219,8 @@ def evaluation(
         "matching_score": [], "r_precision": [], "fid": [], "diversity": [],
         "traj_error": [], "keyframe_error": [], "skating_ratio": [],
     }
+    if cfg.run_mm and generate_mm_fn is not None:
+        results["multimodality"] = []
     for rep in range(cfg.replication_times):
         batches = generate_fn(rep)
         scores = evaluate_matching_score(evaluator, batches, word_vectorizer)
@@ -227,6 +235,20 @@ def evaluation(
         results["traj_error"].append(scores["traj_error"])
         results["keyframe_error"].append(scores["keyframe_error"])
         results["skating_ratio"].append(scores["skating_ratio"])
+        if cfg.run_mm and generate_mm_fn is not None:
+            reps_batches = generate_mm_fn(rep)  # [R] lists of batches
+            per_rep_embs = []
+            for rep_batches in reps_batches:
+                embs = np.concatenate([
+                    evaluator.get_motion_embeddings(gb.motions_rel, gb.lengths)
+                    for gb in rep_batches
+                ], axis=0)
+                per_rep_embs.append(embs)
+            mm_act = np.stack(per_rep_embs, axis=1)  # [N, R, D]
+            mm_times = min(cfg.mm_num_times or mm_act.shape[1] - 1, mm_act.shape[1] - 1)
+            results["multimodality"].append(
+                M.calculate_multimodality(mm_act, max(mm_times, 1))
+            )
 
     summary = OrderedDict()
     for key, vals in results.items():

@@ -108,3 +108,34 @@ class TestEvalHarness:
         np.testing.assert_allclose(err[0, 0], 0.3, atol=1e-6)
         np.testing.assert_allclose(err[0, 1], 0.0, atol=1e-6)
         np.testing.assert_allclose(err[1], 0.0, atol=1e-6)
+
+    def test_multimodality_path(self, setup):
+        from condmdi_tpu.data.word_vectorizer import HashWordVectorizer
+        from condmdi_tpu.evals.evaluator import EvaluatorWrapper
+        from condmdi_tpu.evals.harness import EvalConfig, evaluation, generate_eval_batch
+
+        cfg = EvalConfig(
+            edit_mode="uncond", replication_times=1, diversity_times=4,
+            guidance_param=1.0, max_frames=48, batch_size=4,
+            run_mm=True, mm_num_times=2,
+        )
+        evaluator = EvaluatorWrapper.random_init(0)
+
+        def gen(rep):
+            return [
+                generate_eval_batch(
+                    setup["pipe"], b, jax.random.key(rep * 7 + i), cfg,
+                    setup["abs_stats"], setup["rel_stats"],
+                )
+                for i, b in enumerate(setup["batches"][:1])
+            ]
+
+        def gen_mm(rep):
+            return [gen(100 + r) for r in range(3)]
+
+        summary = evaluation(
+            evaluator, setup["batches"][:1], gen, cfg, HashWordVectorizer(),
+            generate_mm_fn=gen_mm,
+        )
+        assert "multimodality" in summary
+        assert np.isfinite(summary["multimodality"]["mean"])
