@@ -249,10 +249,9 @@ def p_mean_variance(
         sqrt_ab = sched.extract(sched.sqrt_alphas_cumprod, t, x.ndim)
         tilde_x = hat_x - (w_r * sqrt_ab / 2.0) * cond_grad
 
-        imp_on = inpaint.imputate & True
         imp_gate = (
             (t >= inpaint.stop_imputation_at).astype(x.dtype)
-            if imp_on
+            if inpaint.imputate
             else jnp.zeros((B,), x.dtype)
         )
         imp_gate = imp_gate.reshape((B,) + (1,) * (x.ndim - 1))

@@ -113,11 +113,10 @@ class SamplePipeline:
             loop = plms_sample_loop
         else:
             raise ValueError(method)
-        kwargs = dict(noise=noise, inpaint=inpaint, sampler=self.sampler)
-        if method == "plms":
-            kwargs.pop("inpaint")
-            kwargs["inpaint"] = inpaint
-        return loop(denoise, self.sched, self.dcfg, shape, rng, **kwargs)
+        return loop(
+            denoise, self.sched, self.dcfg, shape, rng,
+            noise=noise, inpaint=inpaint, sampler=self.sampler,
+        )
 
     def sample_to_joints(
         self, features: Array, denormalize: Callable[[Array], Array], abs_3d: bool
