@@ -47,9 +47,22 @@ def main(argv=None):
         ds = Text2MotionDataset(dcfg_data)
     except FileNotFoundError:
         ds = SyntheticMotionDataset(dcfg_data, size=max(args.num_samples, 4))
-    batch = collate(
-        [ds[i] for i in range(args.num_samples)], n_frames, HashTextEncoder()
-    )
+    if getattr(args, "use_fixed_dataset", False):
+        # curated reproducible samples (reference --use_fixed_dataset,
+        # conditional_synthesis.py:151 → editing_util.load_fixed_dataset:349)
+        from condmdi_tpu.data.fixed_dataset import (
+            DEFAULT_PATH,
+            load_fixed_dataset,
+            make_synthetic_fixture,
+        )
+
+        if not DEFAULT_PATH.exists():
+            make_synthetic_fixture(DEFAULT_PATH, n=max(args.num_samples, 8), T=n_frames)
+        batch = load_fixed_dataset(args.num_samples, text_encoder=HashTextEncoder())
+    else:
+        batch = collate(
+            [ds[i] for i in range(args.num_samples)], n_frames, HashTextEncoder()
+        )
     B = batch["motion"].shape[0]
 
     obs_x0 = jnp.asarray(batch["motion"])
