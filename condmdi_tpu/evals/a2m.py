@@ -86,6 +86,39 @@ class A2MClassifier:
         return cls(params)
 
 
+class STGCNClassifier:
+    """ST-GCN recognition wrapper (UESTC path; reference stgcn_eval.py).
+
+    motion arrives as [B, T, 25, 6] rot6d a2m features; the network consumes
+    quaternion/rot6d joints [B, C, T, V] per its checkpoint's in_channels.
+    """
+
+    def __init__(self, params: dict, layout: str = "smpl_noglobal",
+                 strategy: str = "spatial"):
+        from condmdi_tpu.evals.stgcn import build_graph, stgcn_forward
+
+        self.params = params
+        self.A = jnp.asarray(build_graph(layout, strategy))
+        self._fwd = jax.jit(lambda x: stgcn_forward(self.params, x, self.A))
+
+    def __call__(self, motion, lengths=None):
+        """motion [B, T, V, C] → (logits, features) numpy."""
+        x = jnp.transpose(jnp.asarray(motion), (0, 3, 1, 2))  # [B, C, T, V]
+        logits, feat = self._fwd(x)
+        return np.asarray(logits), np.asarray(feat)
+
+    @classmethod
+    def from_torch_checkpoint(cls, path: str, **kw) -> "STGCNClassifier":
+        import torch
+
+        from condmdi_tpu.evals.stgcn import convert_stgcn_state_dict
+
+        sd = torch.load(path, map_location="cpu", weights_only=False)
+        if isinstance(sd, dict) and "model" in sd:
+            sd = sd["model"]
+        return cls(convert_stgcn_state_dict(sd), **kw)
+
+
 def evaluate_a2m(
     classifier: A2MClassifier,
     gt_motions: np.ndarray,
