@@ -367,6 +367,43 @@ class DataLoader:
             yield collate(samples, self.max_motion_length, self.text_encoder)
 
 
+class PrefetchIterator:
+    """Background-thread prefetch wrapper: keeps `depth` batches ready so
+    the host collate path never stalls the device step (the reference leans
+    on torch DataLoader workers for this)."""
+
+    def __init__(self, iterable, depth: int = 2):
+        import queue
+        import threading
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._sentinel = object()
+        self._err = None
+
+        def feed():
+            try:
+                for item in iterable:
+                    self._q.put(item)
+            except BaseException as e:  # surface worker errors to the consumer
+                self._err = e
+            finally:
+                self._q.put(self._sentinel)
+
+        self._thread = threading.Thread(target=feed, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._sentinel:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+
 def get_dataset_loader(cfg: DatasetConfig, batch_size: int, text_encoder=None, **kw):
     """Factory ≙ reference get_data.py:77 — picks the dataset class by
     config and wraps it in a loader."""

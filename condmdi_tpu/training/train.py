@@ -91,8 +91,10 @@ class TrainLoop:
         args = self.args
         step = self.resume_step
         t_last = time.time()
+        from condmdi_tpu.data.dataset import PrefetchIterator
+
         while step < self.tcfg.num_steps:
-            for batch in self.data_loader:
+            for batch in PrefetchIterator(self.data_loader, depth=2):
                 if step >= self.tcfg.num_steps:
                     break
                 batch.pop("text", None)

@@ -77,3 +77,21 @@ class TestLoader:
         dl = get_dataset_loader(cfg, batch_size=4)
         b = next(iter(dl))
         assert b["motion"].shape == (4, 32, 263)
+
+
+class TestPrefetch:
+    def test_prefetch_preserves_order_and_errors(self):
+        from condmdi_tpu.data.dataset import PrefetchIterator
+
+        items = list(PrefetchIterator(iter(range(10)), depth=3))
+        assert items == list(range(10))
+
+        def boom():
+            yield 1
+            raise ValueError("x")
+
+        it = PrefetchIterator(boom())
+        assert next(it) == 1
+        import pytest as _p
+        with _p.raises(ValueError):
+            list(it)
