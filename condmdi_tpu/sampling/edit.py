@@ -30,6 +30,13 @@ def main(argv=None):
     from condmdi_tpu.utils.config import CondSyntArgs, parse_args
 
     args = parse_args(CondSyntArgs, argv)
+    from condmdi_tpu.utils.config import EDIT_MODES
+
+    if args.edit_mode not in EDIT_MODES:
+        raise SystemExit(
+            f"error: --edit_mode must be one of {', '.join(EDIT_MODES)} "
+            f"(got {args.edit_mode!r})"
+        )
     args.keyframe_conditioned = False  # edit.py drives the UNCOND model
     if not (args.imputate or args.reconstruction_guidance):
         args.imputate = True  # editing without either is a no-op

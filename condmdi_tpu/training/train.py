@@ -114,13 +114,17 @@ class TrainLoop:
                     self.logger.dumpkvs()
                     print(f"step[{step}]: loss[{m['loss']:.5f}]")
 
-                if step > 0 and step % self.tcfg.save_interval == 0:
+                # checkpoint labels = steps COMPLETED; incrementing first
+                # avoids re-saving the restored step after a resume
+                step += 1
+                if step % self.tcfg.save_interval == 0:
                     self.save(step)
                     self.evaluate(step)
                     if os.environ.get("DIFFUSION_TRAINING_TEST", ""):
                         return
-                step += 1
-        self.save(step)
+        # final save unless the loop just saved (reference :250-252)
+        if step % self.tcfg.save_interval != 0:
+            self.save(step)
 
     def evaluate(self, step: int):
         """In-training eval (reference TrainLoop.evaluate:255 — the humanml

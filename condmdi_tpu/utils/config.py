@@ -127,6 +127,13 @@ class GenerateOptions:
     use_fixed_dataset: bool = False
 
 
+EDIT_MODES = (
+    "lower_body", "benchmark_sparse", "benchmark_clip", "pelvis",
+    "right_wrist", "random_frames", "random_joints", "random",
+    "gmd_keyframes", "uncond", "pelvis_vr", "pelvis_feet",
+)
+
+
 @dataclass
 class CondSyntOptions:
     edit_mode: str = "benchmark_sparse"
