@@ -21,6 +21,14 @@ BASELINE_SAMPLES_PER_SEC = 20000.0 / (20 * 3600.0)  # ≈ 0.278
 
 def main() -> None:
     import jax
+
+    # persistent compilation cache: the 1000-step scan costs ~20 min to
+    # compile cold on the remote TPU compiler; cache hits make reruns fast
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_condmdi")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from condmdi_tpu.diffusion import (
