@@ -113,6 +113,24 @@ class CSVOutputFormat(KVWriter):
         self.file.close()
 
 
+class TensorBoardOutputFormat(KVWriter):
+    def __init__(self, log_dir):
+        from tensorboardX import SummaryWriter  # optional
+
+        self.writer = SummaryWriter(log_dir)
+        self.step = 0
+
+    def writekvs(self, kvs):
+        step = int(kvs.get("step", self.step))
+        for k, v in kvs.items():
+            if hasattr(v, "__float__"):
+                self.writer.add_scalar(k, float(v), step)
+        self.step = step + 1
+
+    def close(self):
+        self.writer.close()
+
+
 class WandbOutputFormat(KVWriter):
     def __init__(self):
         import wandb  # optional
@@ -133,6 +151,11 @@ def make_output_format(fmt: str, ev_dir: str, log_suffix: str = ""):
         return JSONOutputFormat(os.path.join(ev_dir, f"progress{log_suffix}.json"))
     if fmt == "csv":
         return CSVOutputFormat(os.path.join(ev_dir, f"progress{log_suffix}.csv"))
+    if fmt == "tensorboard":
+        try:
+            return TensorBoardOutputFormat(os.path.join(ev_dir, "tb"))
+        except Exception:
+            return HumanOutputFormat(sys.stdout)
     if fmt == "wandb":
         try:
             return WandbOutputFormat()

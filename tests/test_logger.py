@@ -53,3 +53,13 @@ class TestLogger:
 
         assert slow() == 7
         assert logger.dumpkvs()["wait_fn"] >= 0.01
+
+    def test_tensorboard_format(self, tmp_path):
+        pytest_ = __import__("pytest")
+        pytest_.importorskip("tensorboardX")
+        logger.configure(str(tmp_path), format_strs=["tensorboard"])
+        logger.logkv("loss", 0.5)
+        logger.logkv("step", 1)
+        logger.dumpkvs()
+        import glob
+        assert glob.glob(str(tmp_path / "tb" / "events.*"))
