@@ -1,6 +1,11 @@
-"""Benchmark: 196-frame samples/sec/chip, 1000-step DDPM, CondMDI UNet-XL.
+"""Benchmark: 196-frame samples/sec/chip, 1000-step DDPM.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Default model: CondMDI's flagship keyframe-conditioned UNet-XL (dim 512,
+mults 2,2,2,2 — the paper model). `BENCH_MODEL=mdm` benchmarks the MDM
+transformer encoder instead (BASELINE config #1; exercises the Pallas
+fused-attention kernel). `BENCH_BATCH` overrides the batch (default 64).
 
 Baseline derivation: the reference's paper eval (eval_humanml_condmdi wo_mm:
 1000 samples × 20 replications of 196-frame 1000-step DDPM sampling) takes
@@ -12,6 +17,7 @@ including evaluator overhead; sampling dominates. vs_baseline = measured /
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -37,24 +43,35 @@ def main() -> None:
         get_named_beta_schedule,
     )
     from condmdi_tpu.diffusion.sampling import SamplerConfig, ddpm_sample_loop
-    from condmdi_tpu.models.unet import MDM_UNET
 
-    import os
     B = int(os.environ.get("BENCH_BATCH", "64"))
+    which = os.environ.get("BENCH_MODEL", "unet")
     T, F = 196, 263
     STEPS = 1000
 
-    model = MDM_UNET(
-        njoints=F, latent_dim=512, dim_mults=(2, 2, 2, 2),
-        keyframe_conditioned=True, pad_frames_to=224,
-    )
     rng = np.random.default_rng(0)
     x = jnp.zeros((B, T, F))
     t0 = jnp.zeros((B,), jnp.int32)
     y = {"text_embed": jnp.asarray(rng.standard_normal((B, 512)).astype(np.float32))}
-    obs_x0 = jnp.asarray(rng.standard_normal((B, T, F)).astype(np.float32) * 0.1)
-    obs_mask = jnp.zeros((B, T, F), bool).at[:, ::10, :].set(True)
-    params = model.init(jax.random.key(0), x, t0, y, obs_x0=obs_x0, obs_mask=obs_mask)
+
+    if which == "mdm":
+        from condmdi_tpu.models.mdm import MDM
+
+        model = MDM(njoints=F, latent_dim=512, ff_size=1024, num_layers=8, num_heads=4)
+        params = model.init(jax.random.key(0), x, t0, y)
+        obs_x0 = obs_mask = None
+        label = "MDM transformer encoder (Pallas fused attention)"
+    else:
+        from condmdi_tpu.models.unet import MDM_UNET
+
+        model = MDM_UNET(
+            njoints=F, latent_dim=512, dim_mults=(2, 2, 2, 2),
+            keyframe_conditioned=True, pad_frames_to=224,
+        )
+        obs_x0 = jnp.asarray(rng.standard_normal((B, T, F)).astype(np.float32) * 0.1)
+        obs_mask = jnp.zeros((B, T, F), bool).at[:, ::10, :].set(True)
+        params = model.init(jax.random.key(0), x, t0, y, obs_x0=obs_x0, obs_mask=obs_mask)
+        label = "CondMDI UNet-XL keyframe-conditioned"
 
     # bf16 params + activations: TPU-native precision for inference
     params = jax.tree_util.tree_map(
@@ -67,10 +84,10 @@ def main() -> None:
     @jax.jit
     def run(params, y, obs_x0, obs_mask, key):
         def denoise(x_t, t):
-            out = model.apply(
-                params, x_t.astype(jnp.bfloat16), t, y,
-                obs_x0=obs_x0.astype(jnp.bfloat16), obs_mask=obs_mask,
-            )
+            kw = {}
+            if obs_x0 is not None:
+                kw = dict(obs_x0=obs_x0.astype(jnp.bfloat16), obs_mask=obs_mask)
+            out = model.apply(params, x_t.astype(jnp.bfloat16), t, y, **kw)
             return out.astype(jnp.float32)
 
         return ddpm_sample_loop(
@@ -92,7 +109,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "196-frame samples/sec/chip (1000-step DDPM, CondMDI UNet-XL keyframe-conditioned)",
+                "metric": f"196-frame samples/sec/chip (1000-step DDPM, {label})",
                 "value": round(samples_per_sec, 4),
                 "unit": "samples/sec/chip",
                 "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC, 2),
