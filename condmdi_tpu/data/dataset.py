@@ -298,19 +298,24 @@ def collate(samples: Sequence[dict], max_motion_length: int, text_encoder=None) 
     F = samples[0]["motion"].shape[-1]
     motion = np.zeros((B, max_motion_length, F), np.float32)
     lengths = np.zeros((B,), np.int32)
-    captions = []
+    captions, tokens, actions = [], [], []
     for i, s in enumerate(samples):
         L = min(len(s["motion"]), max_motion_length)
         motion[i, :L] = s["motion"][:L]
         lengths[i] = L
         captions.append(s["caption"])
+        tokens.append(s.get("tokens", []))
+        actions.append(s.get("action", 0))
     time_mask = np.arange(max_motion_length)[None, :] < lengths[:, None]
     batch = dict(
         motion=motion,
         time_mask=time_mask,
         lengths=lengths,
         text=captions,
+        tokens=tokens,
     )
+    if any(s.get("action") is not None for s in samples if "action" in s):
+        batch["action"] = np.asarray(actions, np.int32)
     if text_encoder is not None:
         batch["text_embed"] = text_encoder.encode(captions)
     return batch

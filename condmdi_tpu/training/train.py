@@ -98,6 +98,7 @@ class TrainLoop:
                 if step >= self.tcfg.num_steps:
                     break
                 batch.pop("text", None)
+                batch.pop("tokens", None)
                 batch = shard_batch(self.mesh, batch)
                 self.rng, sub = jax.random.split(self.rng)
                 self.state, metrics = self.step_fn(self.state, batch, sub)
