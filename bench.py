@@ -31,7 +31,7 @@ def main() -> None:
     # persistent compilation cache: the 1000-step scan costs ~20 min to
     # compile cold on the remote TPU compiler; cache hits make reruns fast
     try:
-        jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_condmdi")
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
     except Exception:
         pass
