@@ -39,6 +39,10 @@ def main(argv=None):
             f"(got {args.edit_mode!r})"
         )
     args.keyframe_conditioned = True
+    if getattr(args, "keyframe_guidance_param", 1.0) != 1.0:
+        # same surface/limitation as the reference
+        # (conditional_synthesis.py:139-140, eval_humanml_condmdi.py:404-405)
+        raise NotImplementedError("keyframe_guidance_param != 1 is not implemented")
     n_frames = args.num_frames
 
     model, params, sched, dcfg = load_model_for_sampling(args)
