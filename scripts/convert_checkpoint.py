@@ -12,6 +12,12 @@ model's parameter structure, and writes ckpt_<step> + args.json.
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
 import argparse
 import json
 from pathlib import Path

@@ -10,6 +10,12 @@ replacement for the reference's wall-time-only logger.profile scopes
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
 import argparse
 
 
