@@ -13,3 +13,7 @@ from condmdi_tpu.evals.metrics import (
     calculate_skating_ratio,
     get_metric_statistics,
 )
+from condmdi_tpu.evals.evaluator import EvaluatorWrapper
+from condmdi_tpu.evals.harness import EvalConfig, evaluation, generate_eval_batch, compute_kps_error
+from condmdi_tpu.evals.a2m import A2MClassifier, STGCNClassifier, evaluate_a2m
+from condmdi_tpu.evals.unconstrained import evaluate_unconstrained, calculate_kid, precision_and_recall
