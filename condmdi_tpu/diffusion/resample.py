@@ -14,7 +14,6 @@ scatter carried in TrainState.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -14,8 +14,7 @@ pred_xstart (Song-style score conditioning, reference condition_score:605).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from functools import partial
+from dataclasses import dataclass
 from typing import Callable, Optional
 
 import jax
@@ -24,7 +23,6 @@ import jax.numpy as jnp
 from condmdi_tpu.diffusion.gaussian import (
     DiffusionConfig,
     InpaintingState,
-    ModelMeanType,
     p_mean_variance,
     predict_eps_from_xstart,
     predict_xstart_from_eps,

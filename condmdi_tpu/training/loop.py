@@ -19,8 +19,7 @@ TPU-first differences:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
-from functools import partial
+from dataclasses import dataclass, field
 from typing import Any, Callable, Optional
 
 import jax
