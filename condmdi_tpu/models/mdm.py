@@ -36,7 +36,7 @@ from condmdi_tpu.models.embeddings import (
     PositionalEncoding,
     TimestepEmbedder,
 )
-from condmdi_tpu.ops.attention import multihead_attention
+from condmdi_tpu.ops.attention import mha, multihead_attention
 
 Array = jax.Array
 
@@ -90,8 +90,6 @@ class TransformerDecoderLayer(nn.Module):
         q = nn.Dense(self.d_model, name="q_proj")(x)
         kv = nn.Dense(2 * self.d_model, name="kv_proj")(memory)
         k, v = jnp.split(kv, 2, axis=-1)
-        from condmdi_tpu.ops.attention import mha
-
         ca = mha(q, k, v, num_heads=self.num_heads)
         ca = nn.Dense(self.d_model, name="cross_out")(ca)
         ca = nn.Dropout(self.dropout)(ca, deterministic=deterministic)
