@@ -102,6 +102,10 @@ def _xla_attention(
 
 
 def _on_tpu() -> bool:
+    import os
+
+    if os.environ.get("CONDMDI_DISABLE_PALLAS"):
+        return False
     try:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:  # pragma: no cover
