@@ -98,12 +98,18 @@ def generate_eval_batch(
     abs_stats: NormStats,
     rel_stats: NormStats,
     model_is_abs: bool = True,
+    cache_path: Optional[str] = None,
 ) -> GeneratedBatch:
     """One test batch → generated motions + CondMDI metrics.
 
     `batch` carries RELATIVE-normalized GT motion (evaluator space) exactly
     like the reference 'eval' loader; the model consumes the abs variant.
+    `cache_path`: optional .npz path caching the raw samples per
+    (seed, batch, replication) — the reference's .pt sample cache
+    (comp_v6_model_dataset_condmdi.py:382) for cheap harness re-runs.
     """
+    import os
+
     from condmdi_tpu.training.keyframes import get_keyframes_mask
 
     B, T, F = batch["motion"].shape
@@ -123,11 +129,19 @@ def generate_eval_batch(
     obs_mask = obs_mask & jnp.asarray(batch["time_mask"])[..., None]
 
     y = {"text_embed": jnp.asarray(batch["text_embed"])}
-    sample = pipe.sample(
-        sample_rng, (B, T, F), y,
-        guidance_param=cfg.guidance_param,
-        obs_x0=motion_abs, obs_mask=obs_mask,
-    )
+    if cache_path is not None and os.path.exists(cache_path):
+        cached = np.load(cache_path)
+        sample = jnp.asarray(cached["sample"])
+        obs_mask = jnp.asarray(cached["obs_mask"])
+    else:
+        sample = pipe.sample(
+            sample_rng, (B, T, F), y,
+            guidance_param=cfg.guidance_param,
+            obs_x0=motion_abs, obs_mask=obs_mask,
+        )
+        if cache_path is not None:
+            os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
+            np.savez(cache_path, sample=np.asarray(sample), obs_mask=np.asarray(obs_mask))
 
     stats = abs_stats if model_is_abs else rel_stats
     cur_joints = np.asarray(sample_to_motion(sample, stats))

@@ -139,3 +139,21 @@ class TestEvalHarness:
         )
         assert "multimodality" in summary
         assert np.isfinite(summary["multimodality"]["mean"])
+
+    def test_sample_caching(self, setup, tmp_path):
+        from condmdi_tpu.evals.harness import EvalConfig, generate_eval_batch
+
+        cfg = EvalConfig(edit_mode="benchmark_sparse", transition_length=10,
+                         guidance_param=1.0, max_frames=48, batch_size=4)
+        cp = str(tmp_path / "c" / "b0.npz")
+        g1 = generate_eval_batch(
+            setup["pipe"], setup["batches"][0], jax.random.key(5), cfg,
+            setup["abs_stats"], setup["rel_stats"], cache_path=cp,
+        )
+        import os
+        assert os.path.exists(cp)
+        g2 = generate_eval_batch(
+            setup["pipe"], setup["batches"][0], jax.random.key(999), cfg,
+            setup["abs_stats"], setup["rel_stats"], cache_path=cp,
+        )
+        np.testing.assert_allclose(g1.motions_rel, g2.motions_rel, atol=1e-6)
