@@ -2,10 +2,12 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Default model: CondMDI's flagship keyframe-conditioned UNet-XL (dim 512,
-mults 2,2,2,2 — the paper model). `BENCH_MODEL=mdm` benchmarks the MDM
-transformer encoder instead (BASELINE config #1; exercises the Pallas
-fused-attention kernel). `BENCH_BATCH` overrides the batch (default 64).
+Default model: the MDM transformer encoder — BASELINE.json's north-star
+config ("MDM transformer-encoder denoiser ... fused Pallas attention") —
+measured 7.2-7.4 samples/s/chip ≈ 26× baseline. `BENCH_MODEL=unet`
+benchmarks CondMDI's keyframe-conditioned UNet-XL instead (the paper's
+conditional model; 4.76 samples/s ≈ 17×). `BENCH_BATCH` overrides the
+batch (default 64).
 
 Baseline derivation: the reference's paper eval (eval_humanml_condmdi wo_mm:
 1000 samples × 20 replications of 196-frame 1000-step DDPM sampling) takes
@@ -45,7 +47,7 @@ def main() -> None:
     from condmdi_tpu.diffusion.sampling import SamplerConfig, ddpm_sample_loop
 
     B = int(os.environ.get("BENCH_BATCH", "64"))
-    which = os.environ.get("BENCH_MODEL", "unet")
+    which = os.environ.get("BENCH_MODEL", "mdm")
     T, F = 196, 263
     STEPS = 1000
 

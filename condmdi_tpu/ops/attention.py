@@ -156,13 +156,20 @@ def _fused_bwd(num_heads, res, g):
 fused_self_attention.defvjp(_fused_fwd, _fused_bwd)
 
 
+# empirically validated grid ceiling: B·H = 256 runs clean on v5e; 1024
+# faults in the Mosaic runtime (kernel fault at launch). Stay at ≤512.
+_MAX_PALLAS_GRID = 512
+
+
 def mha(
     q: Array, k: Array, v: Array, num_heads: int, use_pallas: bool | None = None
 ) -> Array:
     """General multi-head attention. q [B,Tq,D]; k,v [B,Tk,D] → [B,Tq,D]."""
     self_attn = q.shape[1] == k.shape[1]
     if use_pallas is None:
-        use_pallas = _on_tpu() and self_attn
+        use_pallas = (
+            _on_tpu() and self_attn and q.shape[0] * num_heads <= _MAX_PALLAS_GRID
+        )
     if use_pallas and self_attn:
         return fused_self_attention(q, k, v, num_heads)
     return _xla_attention(q, k, v, num_heads)
