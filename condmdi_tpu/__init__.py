@@ -9,14 +9,19 @@ Pallas attention kernels) instead of the reference's eager PyTorch loops.
 Layout (mirrors SURVEY.md layer map, bottom-up):
   geometry/   L0 quaternion / rot6d / skeleton-FK primitives
   data/       L2-L3 HumanML3D 263-dim codec, feature layout, datasets
-  diffusion/  L4 schedules, Gaussian diffusion math, scan samplers
-  models/     L5 MDM transformer, temporal UNet (AdaGN), DiT denoisers
-  ops/        Pallas TPU kernels (fused attention, ...)
-  parallel/   mesh construction + sharding rules
-  training/   L8 train loop, keyframe mask generator, EMA
-  sampling/   L9 synthesize / conditional_synthesis / edit entry points
-  evals/      L10 metrics + evaluation harness
-  utils/      config cards, checkpointing, logging
+              (HumanML3D/KIT/AMASS/a2m/synthetic), converters, vectorizers
+  diffusion/  L4 schedules + respacing, Gaussian diffusion math, DDPM/DDIM/
+              PLMS scan samplers, timestep samplers
+  models/     L5 MDM transformer, temporal UNet (AdaGN), DiT denoisers, CFG,
+              SMPL LBS + Rotation2xyz, CLIP text tower
+  ops/        Pallas TPU kernels (fused attention) + int8 quantized ops
+  parallel/   mesh construction, DP/FSDP sharding, multi-host init
+  training/   L8 jitted train step, keyframe mask generator, EMA, train CLI
+  sampling/   L9 synthesize / conditional / edit CLIs + GMD guidance pack
+  evals/      L10 metrics, T2M/ST-GCN evaluators, eval harness + CLI
+  utils/      config cards, Orbax + torch checkpoint converters, KV logger
+  viz/        stick-figure rendering, SMPLify fitting, mesh export
+  serving.py  precompiled-bucket micro-batching inference server
 """
 
 __version__ = "0.1.0"
