@@ -90,3 +90,52 @@ def sample_to_motion(sample_abs: Array, abs_stats: NormStats) -> Array:
         abs_stats.mean
     )
     return recover_from_ric(feats, 22, abs_3d=True)
+
+
+# --------------------------------------------------------------------------- #
+# Direct root-channel converters (reference utils/editing_util.py:232,:260) —
+# operate on the 4 root feature channels only, no skeleton round trip.
+# --------------------------------------------------------------------------- #
+def relative_to_global(data: Array) -> Array:
+    """[..., T, F] features with RELATIVE root channels → ABSOLUTE root
+    channels (yaw angle + world xz), other channels untouched."""
+    data = jnp.asarray(data)
+    _, r_pos, rot_ang = recover_root_rot_pos(data, abs_3d=False, return_rot_ang=True)
+    out = data.at[..., 0].set(rot_ang)
+    out = out.at[..., 1].set(r_pos[..., 0])
+    out = out.at[..., 2].set(r_pos[..., 2])
+    return out
+
+
+def global_to_relative(data: Array) -> Array:
+    """Inverse of relative_to_global (reference undo_recover_root_rot_pos,
+    editing_util.py:260): absolute yaw/xz → per-frame velocities rotated into
+    the local frame; the last frame's velocity is lost (shifted left),
+    matching the reference's behavior exactly."""
+    from condmdi_tpu.geometry.quaternion import qrot
+
+    data = jnp.asarray(data)
+    gl_rot = data[..., 0]
+    gl_x = data[..., 1]
+    gl_z = data[..., 2]
+
+    # forward differences; frame 0 diff slot stays 0 (reference writes into
+    # positions 1:), then shifts left by one
+    dx = jnp.concatenate([jnp.zeros_like(gl_x[..., :1]), jnp.diff(gl_x, axis=-1)], axis=-1)
+    dz = jnp.concatenate([jnp.zeros_like(gl_z[..., :1]), jnp.diff(gl_z, axis=-1)], axis=-1)
+    rel = jnp.stack([dx, jnp.zeros_like(dx), dz], axis=-1)
+    quat = jnp.stack(
+        [jnp.cos(gl_rot), jnp.zeros_like(gl_rot), jnp.sin(gl_rot), jnp.zeros_like(gl_rot)],
+        axis=-1,
+    )
+    rel = qrot(quat, rel)
+    # shift left: rel_pos[t] = rel_pos[t+1] (last element duplicated)
+    rel = jnp.concatenate([rel[..., 1:, :], rel[..., -1:, :]], axis=-2)
+
+    drot = jnp.concatenate(
+        [jnp.diff(gl_rot, axis=-1), jnp.zeros_like(gl_rot[..., :1])], axis=-1
+    )
+    out = data.at[..., 0].set(drot)
+    out = out.at[..., 1].set(rel[..., 0])
+    out = out.at[..., 2].set(rel[..., 2])
+    return out

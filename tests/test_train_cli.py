@@ -76,3 +76,41 @@ class TestConvertersRoundTrip:
         # round-trip through IK→features→FK loses a little at fp32; one
         # stray element of 4224 lands just under 0.09
         np.testing.assert_allclose(d0, d1, atol=0.1)
+
+
+class TestRootChannelConverters:
+    def test_relative_to_global_matches_reference(self, reference_path):
+        import torch
+        import jax.numpy as jnp
+
+        from condmdi_tpu.data.convert import relative_to_global
+        from condmdi_tpu.utils.layout import to_reference_layout
+
+        # the reference fn needs recover_root_ang_pos which lives in
+        # motion_process; replicate via its public recover_root_rot_pos
+        from data_loaders.humanml.scripts.motion_process import recover_root_rot_pos
+
+        rng = np.random.default_rng(0)
+        data = (rng.standard_normal((2, 20, 263)) * 0.2).astype(np.float32)
+        ours = np.asarray(relative_to_global(jnp.asarray(data)))
+        q, p, ang = recover_root_rot_pos(
+            torch.from_numpy(data), abs_3d=False, return_rot_ang=True
+        )
+        np.testing.assert_allclose(ours[..., 0], ang.numpy(), atol=1e-5)
+        np.testing.assert_allclose(ours[..., 1], p.numpy()[..., 0], atol=1e-5)
+        np.testing.assert_allclose(ours[..., 2], p.numpy()[..., 2], atol=1e-5)
+        np.testing.assert_allclose(ours[..., 3:], data[..., 3:], atol=0)
+
+    def test_global_relative_round_trip(self):
+        import jax.numpy as jnp
+
+        from condmdi_tpu.data.convert import global_to_relative, relative_to_global
+
+        rng = np.random.default_rng(1)
+        data = (rng.standard_normal((2, 24, 263)) * 0.1).astype(np.float32)
+        g = relative_to_global(jnp.asarray(data))
+        back = np.asarray(global_to_relative(g))
+        # round trip recovers the relative channels except the final frame
+        # (its velocity is unrecoverable — same loss as the reference)
+        np.testing.assert_allclose(back[:, :-1, :3], data[:, :-1, :3], atol=1e-4)
+        np.testing.assert_allclose(back[..., 3:], data[..., 3:], atol=1e-6)
