@@ -66,7 +66,8 @@ def main(argv=None):
     gt_batches = []
     for bi in range(n_batches):
         batch = collate([ds_rel[bi * B + i] for i in range(B)], T, enc)
-        batch["tokens"] = [["a/DET", "person/NOUN", "moves/VERB"]] * B
+        if not any(batch["tokens"]):  # synthetic data carries no tokens
+            batch["tokens"] = [["a/DET", "person/NOUN", "moves/VERB"]] * B
         gt_batches.append(batch)
 
     cfg = EvalConfig(
