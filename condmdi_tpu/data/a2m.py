@@ -117,3 +117,65 @@ class SyntheticA2MDataset:
 
     def __getitem__(self, idx):
         return self.items[idx]
+
+
+class UESTCDataset:
+    """File-backed UESTC (reference data_loaders/a2m/uestc.py:51).
+
+    Needs the prepared VIBE rotation pickles + info files downloaded by
+    prepare/download_a2m_datasets.sh. 40 action classes; clips cropped/padded
+    to num_frames like HumanAct12; rot6d 25×6 features via the same
+    axis-angle conversion.
+    """
+
+    NUM_ACTIONS = 40
+
+    def __init__(self, datapath: str = "dataset/uestc", split: str = "train",
+                 num_frames: int = A2M_NUM_FRAMES):
+        import pickle
+
+        root = Path(datapath)
+        info = root / "info"
+        if not info.is_dir():
+            raise FileNotFoundError(f"{info} not found (prepare/download_a2m_datasets.sh)")
+        self.actions = [
+            l.strip() for l in open(info / "action_classes.txt") if l.strip()
+        ]
+        vibe_pkl = root / "vibe_cache_refined.pkl"
+        if not vibe_pkl.exists():
+            raise FileNotFoundError(f"{vibe_pkl} not found")
+        self.cache = pickle.load(open(vibe_pkl, "rb"))
+        names_file = info / f"{'train' if split == 'train' else 'test'}.txt"
+        self.indices = (
+            [int(l) for l in open(names_file) if l.strip()]
+            if names_file.exists()
+            else list(range(len(self.cache["rotations"])))
+        )
+        self.num_frames = num_frames
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, idx: int) -> dict:
+        ind = self.indices[idx]
+        rotvec = np.asarray(self.cache["rotations"][ind], np.float32).reshape(-1, 24, 3)
+        label = int(self.cache["y"][ind]) if "y" in self.cache else 0
+        T = rotvec.shape[0]
+        if T >= self.num_frames:
+            start = np.random.randint(0, T - self.num_frames + 1)
+            rotvec = rotvec[start : start + self.num_frames]
+            length = self.num_frames
+        else:
+            rotvec = np.concatenate(
+                [rotvec, np.tile(rotvec[-1:], (self.num_frames - T, 1, 1))], axis=0
+            )
+            length = T
+        trans = np.zeros((self.num_frames, 3), np.float32)
+        motion = axis_angle_poses_to_rot6d(rotvec, trans)
+        return dict(
+            motion=motion.reshape(self.num_frames, -1),
+            length=length,
+            action=label,
+            caption=self.actions[label] if label < len(self.actions) else str(label),
+            tokens=[],
+        )
