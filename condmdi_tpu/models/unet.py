@@ -36,6 +36,46 @@ def mish(x: Array) -> Array:
     return x * jnp.tanh(jax.nn.softplus(x))
 
 
+class QConv(nn.Module):
+    """Conv1d with a precision mode switch.
+
+    Parameter names/shapes are identical to nn.Conv ('kernel' [k,Cin,Cout],
+    'bias'), so a single checkpoint serves both modes:
+      'float' — plain XLA conv in the incoming dtype (bf16/f32);
+      'int8'  — per-channel weight + dynamic activation int8 with int32
+                accumulation (ops/quant.py), ~2× MXU rate.
+    """
+
+    features: int
+    kernel_size: int = 5
+    stride: int = 1
+    padding: int = 0
+    zero_init: bool = False
+    precision_mode: str = "float"
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        init = nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
+        kernel = self.param(
+            "kernel", init, (self.kernel_size, x.shape[-1], self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.precision_mode == "int8":
+            from condmdi_tpu.ops.quant import quant_conv1d_from_f32
+
+            return quant_conv1d_from_f32(
+                x, kernel, bias, stride=self.stride, padding=self.padding
+            ).astype(x.dtype)
+        out = jax.lax.conv_general_dilated(
+            x,
+            kernel.astype(x.dtype),
+            window_strides=(self.stride,),
+            padding=[(self.padding, self.padding)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+        )
+        return out + bias.astype(x.dtype)
+
+
 class Conv1dBlock(nn.Module):
     """Conv(k) → GroupNorm(8) → Mish."""
 
@@ -43,15 +83,16 @@ class Conv1dBlock(nn.Module):
     kernel_size: int = 5
     n_groups: int = 8
     zero: bool = False
+    precision_mode: str = "float"
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        init = nn.initializers.zeros if self.zero else nn.initializers.lecun_normal()
-        x = nn.Conv(
+        x = QConv(
             self.out_channels,
-            (self.kernel_size,),
+            self.kernel_size,
             padding=self.kernel_size // 2,
-            kernel_init=init,
+            zero_init=self.zero,
+            precision_mode=self.precision_mode,
             name="conv",
         )(x)
         x = nn.GroupNorm(num_groups=self.n_groups, epsilon=1e-5, name="norm")(x)
@@ -64,13 +105,15 @@ class Conv1dAdaGNBlock(nn.Module):
     out_channels: int
     kernel_size: int = 5
     n_groups: int = 8
+    precision_mode: str = "float"
 
     @nn.compact
     def __call__(self, x: Array, scale: Array, shift: Array) -> Array:
-        x = nn.Conv(
+        x = QConv(
             self.out_channels,
-            (self.kernel_size,),
+            self.kernel_size,
             padding=self.kernel_size // 2,
+            precision_mode=self.precision_mode,
             name="conv",
         )(x)
         x = nn.GroupNorm(num_groups=self.n_groups, epsilon=1e-5, name="norm")(x)
@@ -123,6 +166,7 @@ class ResidualTemporalBlock(nn.Module):
     kernel_size: int = 5
     adagn: bool = True
     zero: bool = True
+    precision_mode: str = "float"
 
     @nn.compact
     def __call__(self, x: Array, t_emb: Array) -> Array:
@@ -139,17 +183,25 @@ class ResidualTemporalBlock(nn.Module):
         if self.adagn:
             scale, shift = jnp.split(cond, 2, axis=-1)
             h = Conv1dAdaGNBlock(
-                self.out_channels, self.kernel_size, name="block1"
+                self.out_channels, self.kernel_size,
+                precision_mode=self.precision_mode, name="block1"
             )(x, scale, shift)
         else:
-            h = Conv1dBlock(self.out_channels, self.kernel_size, name="block1")(x)
+            h = Conv1dBlock(
+                self.out_channels, self.kernel_size,
+                precision_mode=self.precision_mode, name="block1"
+            )(x)
             h = h + cond[:, None, :]
         h = Conv1dBlock(
-            self.out_channels, self.kernel_size, zero=self.zero, name="block2"
+            self.out_channels, self.kernel_size, zero=self.zero,
+            precision_mode=self.precision_mode, name="block2"
         )(h)
 
         if in_channels != self.out_channels:
-            res = nn.Conv(self.out_channels, (1,), name="residual_conv")(x)
+            res = QConv(
+                self.out_channels, 1, precision_mode=self.precision_mode,
+                name="residual_conv",
+            )(x)
         else:
             res = x
         return h + res
@@ -164,6 +216,7 @@ class TemporalUnet(nn.Module):
     adagn: bool = True
     zero: bool = True
     added_input_channels: int = 0
+    precision_mode: str = "float"
 
     @nn.compact
     def __call__(self, x: Array, cond: Array) -> Array:
@@ -180,10 +233,12 @@ class TemporalUnet(nn.Module):
         for ind, (dim_in, dim_out) in enumerate(in_out):
             is_last = ind >= n_res - 1
             x = ResidualTemporalBlock(
-                dim_out, adagn=self.adagn, zero=self.zero, name=f"down{ind}_res1"
+                dim_out, adagn=self.adagn, zero=self.zero,
+                precision_mode=self.precision_mode, name=f"down{ind}_res1"
             )(x, c)
             x = ResidualTemporalBlock(
-                dim_out, adagn=self.adagn, zero=self.zero, name=f"down{ind}_res2"
+                dim_out, adagn=self.adagn, zero=self.zero,
+                precision_mode=self.precision_mode, name=f"down{ind}_res2"
             )(x, c)
             if self.attention:
                 x = x + LinearAttention(name=f"down{ind}_attn")(
@@ -191,30 +246,36 @@ class TemporalUnet(nn.Module):
                 )
             h.append(x)
             if not is_last:
-                x = nn.Conv(
-                    dim_out, (3,), strides=(2,), padding=1, name=f"down{ind}_downsample"
+                x = QConv(
+                    dim_out, 3, stride=2, padding=1,
+                    precision_mode=self.precision_mode,
+                    name=f"down{ind}_downsample",
                 )(x)
 
         mid_dim = dims[-1]
         x = ResidualTemporalBlock(
-            mid_dim, adagn=self.adagn, zero=self.zero, name="mid_block1"
+            mid_dim, adagn=self.adagn, zero=self.zero,
+            precision_mode=self.precision_mode, name="mid_block1"
         )(x, c)
         if self.attention:
             x = x + LinearAttention(name="mid_attn")(
                 ChannelLayerNorm(name="mid_attn_norm")(x)
             )
         x = ResidualTemporalBlock(
-            mid_dim, adagn=self.adagn, zero=self.zero, name="mid_block2"
+            mid_dim, adagn=self.adagn, zero=self.zero,
+            precision_mode=self.precision_mode, name="mid_block2"
         )(x, c)
 
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out[1:])):
             is_last = ind >= n_res - 1
             x = jnp.concatenate([x, h.pop()], axis=-1)
             x = ResidualTemporalBlock(
-                dim_in, adagn=self.adagn, zero=self.zero, name=f"up{ind}_res1"
+                dim_in, adagn=self.adagn, zero=self.zero,
+                precision_mode=self.precision_mode, name=f"up{ind}_res1"
             )(x, c)
             x = ResidualTemporalBlock(
-                dim_in, adagn=self.adagn, zero=self.zero, name=f"up{ind}_res2"
+                dim_in, adagn=self.adagn, zero=self.zero,
+                precision_mode=self.precision_mode, name=f"up{ind}_res2"
             )(x, c)
             if self.attention:
                 x = x + LinearAttention(name=f"up{ind}_attn")(
@@ -230,12 +291,13 @@ class TemporalUnet(nn.Module):
                     name=f"up{ind}_upsample",
                 )(x)
 
-        x = Conv1dBlock(dims[1], kernel_size=5, name="final_block")(x)
-        x = nn.Conv(
-            self.input_dim,
-            (1,),
-            kernel_init=nn.initializers.zeros if self.zero else nn.initializers.lecun_normal(),
-            name="final_conv",
+        x = Conv1dBlock(
+            dims[1], kernel_size=5, precision_mode=self.precision_mode,
+            name="final_block",
+        )(x)
+        x = QConv(
+            self.input_dim, 1, zero_init=self.zero,
+            precision_mode=self.precision_mode, name="final_conv",
         )(x)
         return x
 
@@ -260,6 +322,7 @@ class MDM_UNET(nn.Module):
     keyframe_conditioned: bool = False
     zero_keyframe_loss: bool = False
     pad_frames_to: int = 224
+    precision_mode: str = "float"  # 'float' (bf16/f32) | 'int8' serving path
 
     @property
     def input_feats(self) -> int:
@@ -330,6 +393,7 @@ class MDM_UNET(nn.Module):
             attention=self.attention,
             adagn=self.adagn,
             zero=self.zero,
+            precision_mode=self.precision_mode,
             name="unet",
         )(x, emb)
 

@@ -73,6 +73,22 @@ def conv1d_f32(x, w, bias=None, stride=1, padding=0):
     return out + bias if bias is not None else out
 
 
+def quant_conv1d_from_f32(
+    x: Array,
+    kernel: Array,  # [k, Cin, Cout] float (the stored checkpoint weight)
+    bias: Array | None = None,
+    stride: int = 1,
+    padding: int = 0,
+) -> Array:
+    """int8 conv taking the ORIGINAL f32/bf16 kernel: weights are quantized
+    per-channel in-graph (cheap vs the conv; lets the same parameter tree
+    serve both precision modes) and activations dynamically per-tensor."""
+    wq, w_scale = quantize_weight_per_channel(kernel.astype(jnp.float32))
+    return int8_conv1d(
+        x.astype(jnp.float32), wq, w_scale, bias=bias, stride=stride, padding=padding
+    )
+
+
 def quantize_params_tree(params: Any) -> Any:
     """Replace every {'kernel': [k,in,out], 'bias'} conv leaf with
     {'kernel_q', 'scale', 'bias'} (Dense kernels [in,out] are kept f32)."""

@@ -51,3 +51,30 @@ class TestQuantOps:
         assert q["block1"]["conv"]["kernel_q"].dtype == jnp.int8
         # dense kernel untouched
         assert "kernel" in q["time_mlp"]
+
+
+class TestInt8UNet:
+    def test_int8_unet_close_to_float(self):
+        """Same checkpoint, precision_mode='int8' vs 'float': outputs close."""
+        import jax
+        import jax.numpy as jnp
+
+        from condmdi_tpu.models.unet import MDM_UNET
+
+        B, T, F = 2, 28, 263
+        kw = dict(njoints=F, latent_dim=32, dim_mults=(1, 2),
+                  keyframe_conditioned=True, pad_frames_to=28, zero=False)
+        m_f = MDM_UNET(**kw)
+        m_q = MDM_UNET(**kw, precision_mode="int8")
+        x = jax.random.normal(jax.random.key(0), (B, T, F))
+        t = jnp.full((B,), 3, jnp.int32)
+        y = {"text_embed": jax.random.normal(jax.random.key(1), (B, 512))}
+        obs = jax.random.normal(jax.random.key(2), (B, T, F)) * 0.3
+        mask = jnp.zeros((B, T, F), bool).at[:, ::5, :].set(True)
+        params = m_f.init(jax.random.key(3), x, t, y, obs_x0=obs, obs_mask=mask)
+
+        out_f = np.asarray(m_f.apply(params, x, t, y, obs_x0=obs, obs_mask=mask))
+        out_q = np.asarray(m_q.apply(params, x, t, y, obs_x0=obs, obs_mask=mask))
+        rel = np.abs(out_q - out_f).mean() / (np.abs(out_f).mean() + 1e-8)
+        assert rel < 0.1, rel
+        assert np.isfinite(out_q).all()
