@@ -69,11 +69,12 @@ def main() -> None:
         model = MDM_UNET(
             njoints=F, latent_dim=512, dim_mults=(2, 2, 2, 2),
             keyframe_conditioned=True, pad_frames_to=224,
+            precision_mode="int8" if which == "unet_int8" else "float",
         )
         obs_x0 = jnp.asarray(rng.standard_normal((B, T, F)).astype(np.float32) * 0.1)
         obs_mask = jnp.zeros((B, T, F), bool).at[:, ::10, :].set(True)
         params = model.init(jax.random.key(0), x, t0, y, obs_x0=obs_x0, obs_mask=obs_mask)
-        label = "CondMDI UNet-XL keyframe-conditioned"
+        label = "CondMDI UNet-XL keyframe-conditioned" + (" int8" if which == "unet_int8" else "")
 
     # bf16 params + activations: TPU-native precision for inference
     params = jax.tree_util.tree_map(
