@@ -56,13 +56,18 @@ def main() -> None:
     t0 = jnp.zeros((B,), jnp.int32)
     y = {"text_embed": jnp.asarray(rng.standard_normal((B, 512)).astype(np.float32))}
 
-    if which == "mdm":
+    if which.startswith("mdm"):
         from condmdi_tpu.models.mdm import MDM
 
-        model = MDM(njoints=F, latent_dim=512, ff_size=1024, num_layers=8, num_heads=4)
+        model = MDM(
+            njoints=F, latent_dim=512, ff_size=1024, num_layers=8, num_heads=4,
+            precision_mode="int8" if which == "mdm_int8" else "float",
+        )
         params = model.init(jax.random.key(0), x, t0, y)
         obs_x0 = obs_mask = None
-        label = "MDM transformer encoder (Pallas fused attention)"
+        label = "MDM transformer encoder (Pallas fused attention)" + (
+            " int8" if which == "mdm_int8" else ""
+        )
     else:
         from condmdi_tpu.models.unet import MDM_UNET
 

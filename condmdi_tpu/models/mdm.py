@@ -41,6 +41,26 @@ from condmdi_tpu.ops.attention import mha, multihead_attention
 Array = jax.Array
 
 
+class QDense(nn.Module):
+    """Dense with a precision switch; param layout identical to nn.Dense
+    so checkpoints serve both modes (cf. QConv in models/unet.py)."""
+
+    features: int
+    precision_mode: str = "float"
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if self.precision_mode == "int8":
+            from condmdi_tpu.ops.quant import int8_matmul
+
+            return int8_matmul(x, kernel, bias).astype(x.dtype)
+        return x @ kernel.astype(x.dtype) + bias.astype(x.dtype)
+
+
 class TransformerEncoderLayer(nn.Module):
     """Post-LN encoder layer matching torch.nn.TransformerEncoderLayer."""
 
@@ -49,22 +69,23 @@ class TransformerEncoderLayer(nn.Module):
     ff_size: int
     dropout: float = 0.1
     activation: str = "gelu"
+    precision_mode: str = "float"
 
     @nn.compact
     def __call__(self, x: Array, *, deterministic: bool = True) -> Array:
         # self-attention block
         attn_out = multihead_attention(
-            nn.Dense(3 * self.d_model, name="qkv")(x),
+            QDense(3 * self.d_model, self.precision_mode, name="qkv")(x),
             num_heads=self.num_heads,
         )
-        attn_out = nn.Dense(self.d_model, name="attn_out")(attn_out)
+        attn_out = QDense(self.d_model, self.precision_mode, name="attn_out")(attn_out)
         attn_out = nn.Dropout(self.dropout)(attn_out, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x + attn_out)
         # feed-forward block
-        h = nn.Dense(self.ff_size, name="ff1")(x)
+        h = QDense(self.ff_size, self.precision_mode, name="ff1")(x)
         h = nn.gelu(h, approximate=False) if self.activation == "gelu" else nn.relu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
-        h = nn.Dense(self.d_model, name="ff2")(h)
+        h = QDense(self.d_model, self.precision_mode, name="ff2")(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         return nn.LayerNorm(epsilon=1e-5, name="norm2")(x + h)
 
@@ -121,6 +142,7 @@ class MDM(nn.Module):
     cond_mode: str = "text"  # 'text' | 'action' | 'no_cond'
     cond_mask_prob: float = 0.1
     num_actions: int = 1
+    precision_mode: str = "float"  # 'float' | 'int8' serving path
 
     @property
     def input_feats(self) -> int:
@@ -182,6 +204,7 @@ class MDM(nn.Module):
                     self.ff_size,
                     self.dropout,
                     self.activation,
+                    precision_mode=self.precision_mode,
                     name=f"layer{i}",
                 )(xseq, deterministic=not train)
             out = xseq[:, 1:, :]

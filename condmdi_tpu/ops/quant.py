@@ -105,3 +105,24 @@ def quantize_params_tree(params: Any) -> Any:
         return node
 
     return walk(params)
+
+
+def int8_matmul(x: Array, kernel: Array, bias: Array | None = None) -> Array:
+    """Quantized dense: x [..., Din] f32 × kernel [Din, Dout] f32 → f32.
+
+    Per-tensor dynamic activation scale, per-column weight scale, int32
+    accumulation on the MXU (2× bf16 rate).
+    """
+    amax_w = jnp.max(jnp.abs(kernel), axis=0)
+    w_scale = jnp.maximum(amax_w, 1e-8) / 127.0
+    wq = jnp.clip(jnp.round(kernel / w_scale), -127, 127).astype(jnp.int8)
+
+    xq, a_scale = quantize_activation(x.astype(jnp.float32))
+    out = jax.lax.dot_general(
+        xq, wq,
+        (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * (a_scale * w_scale)
+    if bias is not None:
+        out = out + bias
+    return out

@@ -78,3 +78,24 @@ class TestInt8UNet:
         rel = np.abs(out_q - out_f).mean() / (np.abs(out_f).mean() + 1e-8)
         assert rel < 0.1, rel
         assert np.isfinite(out_q).all()
+
+
+class TestInt8MDM:
+    def test_int8_mdm_close_to_float(self):
+        import jax
+        import jax.numpy as jnp
+
+        from condmdi_tpu.models.mdm import MDM
+
+        B, T, F = 2, 24, 263
+        kw = dict(njoints=F, latent_dim=64, ff_size=128, num_layers=2, num_heads=4)
+        m_f = MDM(**kw)
+        m_q = MDM(**kw, precision_mode="int8")
+        x = jax.random.normal(jax.random.key(0), (B, T, F))
+        t = jnp.full((B,), 5, jnp.int32)
+        y = {"text_embed": jax.random.normal(jax.random.key(1), (B, 512))}
+        params = m_f.init(jax.random.key(2), x, t, y)
+        out_f = np.asarray(m_f.apply(params, x, t, y))
+        out_q = np.asarray(m_q.apply(params, x, t, y))
+        rel = np.abs(out_q - out_f).mean() / (np.abs(out_f).mean() + 1e-8)
+        assert rel < 0.1, rel
