@@ -79,10 +79,17 @@ def plot_3d_motion(
     anim = FuncAnimation(fig, update, frames=T, interval=1000 / fps)
     save_path = Path(save_path)
     save_path.parent.mkdir(parents=True, exist_ok=True)
+    from matplotlib import animation as _mpl_anim
+
+    # Pillow (the only writer guaranteed present) can't encode mp4; pick the
+    # container per available writer and return the path actually written.
+    if save_path.suffix == ".mp4" and not _mpl_anim.writers.is_available("ffmpeg"):
+        save_path = save_path.with_suffix(".gif")
     try:
         anim.save(str(save_path), fps=fps)
     except Exception:
-        anim.save(str(save_path.with_suffix(".gif")), fps=fps, writer="pillow")
+        save_path = save_path.with_suffix(".gif")
+        anim.save(str(save_path), fps=fps, writer="pillow")
     plt.close(fig)
     return save_path
 
