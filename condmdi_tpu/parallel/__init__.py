@@ -6,3 +6,10 @@ from condmdi_tpu.parallel.mesh import (
     data_parallel_spec,
     initialize_distributed,
 )
+from condmdi_tpu.parallel.tp import (
+    TP_AXIS,
+    MDM_TP_RULES,
+    make_mesh_2d,
+    shard_params_tp,
+    tp_spec_for_path,
+)
