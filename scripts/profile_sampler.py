@@ -26,6 +26,8 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=196)
     ap.add_argument("--latent_dim", type=int, default=512)
     ap.add_argument("--out", default="/tmp/condmdi_trace")
+    ap.add_argument("--dtype", choices=("bf16", "f32"), default="bf16",
+                    help="bf16 matches bench.py's serving precision")
     args = ap.parse_args(argv)
 
     import jax
@@ -52,12 +54,22 @@ def main(argv=None):
     om = jnp.zeros((B, T, F), bool)
     params = model.init(jax.random.key(0), x, jnp.zeros((B,), jnp.int32), y,
                         obs_x0=obs, obs_mask=om)
+    if args.dtype == "bf16":  # mirror bench.py's serving precision
+        params = jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+            params,
+        )
     sched = DiffusionSchedule.create(get_named_beta_schedule("cosine", args.steps))
+    act_dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
 
     @jax.jit
     def run(params, key):
         def denoise(x_t, t):
-            return model.apply(params, x_t, t, y, obs_x0=obs, obs_mask=om)
+            out = model.apply(
+                params, x_t.astype(act_dtype), t, y,
+                obs_x0=obs.astype(act_dtype), obs_mask=om,
+            )
+            return out.astype(x_t.dtype)
 
         return ddpm_sample_loop(
             denoise, sched, DiffusionConfig(), (B, T, F), key,
