@@ -80,6 +80,52 @@ class TestInt8UNet:
         assert np.isfinite(out_q).all()
 
 
+class TestInt8WholeSampler:
+    def test_int8_ddim_trajectory_close_to_float(self):
+        """The quality gate the FID check will formalize: identical seed +
+        deterministic DDIM, float vs int8 model → whole sampled motions stay
+        close through all steps (quantization error must not compound)."""
+        import jax
+        import jax.numpy as jnp
+
+        from condmdi_tpu.diffusion import (
+            DiffusionConfig, DiffusionSchedule, get_named_beta_schedule,
+        )
+        from condmdi_tpu.diffusion.sampling import SamplerConfig
+        from condmdi_tpu.models.unet import MDM_UNET
+        from condmdi_tpu.sampling.pipeline import SamplePipeline
+
+        B, T, F = 2, 28, 263
+        kw = dict(njoints=F, latent_dim=32, dim_mults=(1, 2),
+                  keyframe_conditioned=True, pad_frames_to=28, zero=False)
+        m_f = MDM_UNET(**kw)
+        m_q = MDM_UNET(**kw, precision_mode="int8")
+        obs = jax.random.normal(jax.random.key(1), (B, T, F)) * 0.3
+        mask = jnp.zeros((B, T, F), bool).at[:, ::7, :].set(True)
+        y = {"text_embed": jax.random.normal(jax.random.key(2), (B, 512))}
+        params = m_f.init(
+            jax.random.key(0), jnp.zeros((B, T, F)), jnp.zeros((B,), jnp.int32),
+            y, obs_x0=obs, obs_mask=mask,
+        )
+        sched = DiffusionSchedule.create(get_named_beta_schedule("cosine", 20))
+        scfg = SamplerConfig(method="ddim", eta=0.0)
+
+        outs = {}
+        for name, m in (("float", m_f), ("int8", m_q)):
+            pipe = SamplePipeline(
+                lambda a, b, c, _m=m, **k: _m.apply(params, a, b, c, **k),
+                sched, DiffusionConfig(), scfg,
+            )
+            outs[name] = np.asarray(pipe.sample(
+                jax.random.key(3), (B, T, F), y, obs_x0=obs, obs_mask=mask,
+            ))
+        rel = np.abs(outs["int8"] - outs["float"]).mean() / (
+            np.abs(outs["float"]).mean() + 1e-8
+        )
+        assert rel < 0.25, rel
+        assert np.isfinite(outs["int8"]).all()
+
+
 class TestInt8MDM:
     def test_int8_mdm_close_to_float(self):
         import jax
