@@ -13,7 +13,6 @@ File-backed loading requires the reference's prepared pickles
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Optional
 
 import numpy as np
 

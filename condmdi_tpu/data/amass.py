@@ -21,9 +21,7 @@ tensors, per-field mean/std normalization, clip_length 128).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from pathlib import Path
-from typing import Optional
 
 import numpy as np
 

@@ -18,11 +18,9 @@ like the reference.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from condmdi_tpu.data.humanml_repr import (
     extract_features,

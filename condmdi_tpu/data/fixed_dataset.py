@@ -12,7 +12,6 @@ deterministically when no curated file exists.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Optional
 
 import numpy as np
 

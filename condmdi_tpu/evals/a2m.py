@@ -9,7 +9,6 @@ converts it, `random_init` keeps the pipeline runnable without assets).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

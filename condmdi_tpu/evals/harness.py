@@ -20,7 +20,7 @@ all vmapped over the batch instead of per-sample python loops.
 from __future__ import annotations
 
 from collections import OrderedDict
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable, Optional
 
 import numpy as np

@@ -15,12 +15,10 @@ from __future__ import annotations
 
 from pathlib import Path
 
-import numpy as np
 
 
 def main(argv=None):
     import jax
-    import jax.numpy as jnp
 
     from condmdi_tpu.data.dataset import DatasetConfig, SyntheticMotionDataset, collate
     from condmdi_tpu.data.word_vectorizer import HashWordVectorizer, WordVectorizer

@@ -13,7 +13,7 @@ the standard parents array — no kintree pickle needed.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,6 @@ are assembled with one stack + static permutation instead of scatter.
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp

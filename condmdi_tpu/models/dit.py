@@ -16,7 +16,7 @@ Structure per variant (arch dispatch mirrors :416-470):
 
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax

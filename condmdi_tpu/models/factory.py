@@ -9,10 +9,8 @@ traj_only → 4×1 no-cond.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from typing import Any, Tuple
 
-import numpy as np
 
 from condmdi_tpu.diffusion.gaussian import (
     DiffusionConfig,

@@ -25,7 +25,6 @@ from typing import Any, Optional, Sequence
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from condmdi_tpu.models.embeddings import EmbedAction, TimestepEmbedder
 

@@ -10,12 +10,10 @@ recovery (`recover_from_ric`) so a single device round-trip yields joints.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from condmdi_tpu.data.humanml_repr import recover_from_ric
 from condmdi_tpu.diffusion.gaussian import (

@@ -11,8 +11,6 @@ when matplotlib/ffmpeg are available) in --output_dir.
 
 from __future__ import annotations
 
-import json
-import os
 from pathlib import Path
 
 import numpy as np

@@ -14,7 +14,6 @@ Feature parity with the reference scheme (SURVEY §5 checkpoint/resume):
 
 from __future__ import annotations
 
-import json
 import re
 from pathlib import Path
 from typing import Any, Optional

@@ -1,0 +1,109 @@
+"""Interactive serving latency: one keyframe-conditioned request at B=1.
+
+The throughput bench (bench.py) answers "samples/sec/chip at batch"; this
+answers the serving question: how long does ONE user's in-betweening
+request take on one chip, for the 1000-step DDPM the paper uses and the
+DDIM-50 respacing a production deployment would pick.
+
+Reports per-request latency by timing N back-to-back requests inside one
+jitted scan (axon relay: only ≥10 s programs time reliably — BENCH_NOTES).
+
+Usage: python scripts/serving_latency.py [--model unet|mdm] [--reps 20]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import argparse
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", choices=("unet", "mdm"), default="unet")
+    ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--frames", type=int, default=196)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from condmdi_tpu.diffusion import (
+        DiffusionConfig,
+        DiffusionSchedule,
+        get_named_beta_schedule,
+        space_timesteps,
+    )
+    from condmdi_tpu.diffusion.sampling import SamplerConfig, ddpm_sample_loop, ddim_sample_loop
+
+    B, T, F = 1, args.frames, 263
+    if args.model == "unet":
+        from condmdi_tpu.models.unet import MDM_UNET
+
+        model = MDM_UNET(
+            njoints=F, latent_dim=512, dim_mults=(2, 2, 2, 2),
+            keyframe_conditioned=True, pad_frames_to=224,
+        )
+        kw = dict(
+            obs_x0=jnp.zeros((B, T, F), jnp.bfloat16),
+            obs_mask=jnp.zeros((B, T, F), bool).at[:, ::20, :].set(True),
+        )
+    else:
+        from condmdi_tpu.models.mdm import MDM
+
+        model = MDM(njoints=F, latent_dim=512, ff_size=1024, num_layers=8, num_heads=4)
+        kw = {}
+
+    y = {"text_embed": jnp.zeros((B, 512), jnp.bfloat16)}
+    x0 = jnp.zeros((B, T, F))
+    params = model.init(jax.random.key(0), x0, jnp.zeros((B,), jnp.int32), y, **kw)
+    params = jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, params
+    )
+
+    def measure(name, steps, use_ddim):
+        base = get_named_beta_schedule("cosine", 1000)
+        if steps == 1000:
+            sched = DiffusionSchedule.create(base)
+        else:
+            sched = DiffusionSchedule.create(
+                base, use_timesteps=space_timesteps(1000, f"ddim{steps}")
+            )
+        loop = ddim_sample_loop if use_ddim else ddpm_sample_loop
+
+        @jax.jit
+        def serve_n(params, key):
+            def denoise(x_t, t):
+                out = model.apply(params, x_t.astype(jnp.bfloat16), t, y, **kw)
+                return out.astype(x_t.dtype)
+
+            def one(carry, k):
+                out = loop(
+                    denoise, sched, DiffusionConfig(), (B, T, F), k,
+                    sampler=SamplerConfig(),
+                )
+                return carry + jnp.mean(out), ()
+
+            keys = jax.random.split(key, args.reps)
+            acc, _ = jax.lax.scan(one, jnp.zeros(()), keys)
+            return acc
+
+        serve_n(params, jax.random.key(0)).block_until_ready()  # compile
+        t0 = time.perf_counter()
+        serve_n(params, jax.random.key(1)).block_until_ready()
+        total = time.perf_counter() - t0
+        lat_ms = total / args.reps * 1e3
+        print(f"{name:22s} {lat_ms:9.1f} ms/request  ({total:.1f} s / {args.reps} reqs)")
+        return lat_ms
+
+    print(f"model={args.model} B=1 T={T} bf16")
+    measure("ddpm-1000 (paper)", 1000, use_ddim=False)
+    measure("ddim-50 (serving)", 50, use_ddim=True)
+
+
+if __name__ == "__main__":
+    main()
