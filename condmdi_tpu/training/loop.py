@@ -53,6 +53,10 @@ class TrainConfig:
     keyframe_mask_prob: float = 0.1
     zero_keyframe_loss: bool = False
     use_bf16: bool = False
+    # rematerialize the denoiser forward in the backward pass: trades ~1
+    # extra forward of FLOPs for dropping all denoiser activations from HBM
+    # (headroom for batch >256 / longer contexts on one chip)
+    remat: bool = False
 
 
 @jax.tree_util.register_dataclass
@@ -149,6 +153,9 @@ def make_train_step(
                 **kw,
             )
             return out.astype(jnp.float32)
+
+        if tcfg.remat:
+            denoise = jax.checkpoint(denoise)
 
         terms = training_losses(
             denoise,

@@ -62,6 +62,7 @@ class TrainLoop:
             keyframe_mask_prob=args.keyframe_mask_prob,
             zero_keyframe_loss=args.zero_keyframe_loss,
             use_bf16=args.use_fp16,  # legacy flag name; bf16 on TPU
+            remat=getattr(args, "remat", False),
         )
         self.state = create_train_state(params, self.tcfg, sched)
         self.resume_step = 0

@@ -104,6 +104,9 @@ class TrainingOptions:
     time_weighted_loss: bool = False
     train_x0_as_eps: bool = False
     schedule_sampler: str = "uniform"
+    # TPU-build extra: rematerialize the denoiser in backward (memory headroom
+    # for batch >256; ~1 extra forward of FLOPs). No reference equivalent.
+    remat: bool = False
 
 
 @dataclass
@@ -298,8 +301,17 @@ def _add_field_to_parser(parser: argparse.ArgumentParser, name: str, ftype):
     flag = "--" + name
     origin = get_origin(ftype)
     if ftype is bool:
-        parser.add_argument(flag, type=lambda s: s.lower() in ("1", "true", "yes"),
-                            default=None)
+        def _parse_bool(s: str, _flag=flag):
+            v = s.lower()
+            if v in ("1", "true", "yes"):
+                return True
+            if v in ("0", "false", "no"):
+                return False
+            raise argparse.ArgumentTypeError(
+                f"{_flag} expects true/false, got {s!r}"
+            )
+
+        parser.add_argument(flag, type=_parse_bool, default=None)
     elif origin is tuple:
         parser.add_argument(flag, type=float, nargs="+", default=None)
     elif ftype is int:

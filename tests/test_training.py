@@ -132,6 +132,30 @@ class TestLossAwareState:
         np.testing.assert_allclose(w.sum(), 1.0, atol=1e-5)
 
 
+class TestRemat:
+    def test_remat_step_matches_plain(self):
+        """jax.checkpoint on the denoiser must not change the math."""
+        _, state, step_fn, batch = setup()
+        s1, m1 = step_fn(state, batch, jax.random.key(0))
+
+        model, state2, _, _ = setup()
+        tcfg = TrainConfig(lr=1e-3, num_steps=10, remat=True)
+        sched = DiffusionSchedule.create(get_named_beta_schedule("cosine", STEPS))
+
+        def apply_fn(params, x, t, y, train=False, rngs=None, **kw):
+            return model.apply(params, x, t, y, train=train, rngs=rngs, **kw)
+
+        step_r = make_train_step(apply_fn, sched, DiffusionConfig(), tcfg)
+        s2, m2 = step_r(state2, batch, jax.random.key(0))
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+        # Adam's first step amplifies recompute-order roundoff (update is
+        # ~sign(g)·lr when v≈g²), so params agree to ~lr·1e-1, not 1e-5.
+        for l1, l2 in zip(
+            jax.tree_util.tree_leaves(s1.params), jax.tree_util.tree_leaves(s2.params)
+        ):
+            np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=5e-4)
+
+
 class TestDataParallel:
     def test_sharded_train_step_matches_single_device(self):
         assert len(jax.devices()) == 8, "conftest must force 8 virtual devices"
