@@ -336,6 +336,10 @@ def parse_args(cls, argv=None, base_card: Optional[str] = None):
         _add_field_to_parser(parser, f.name, hints.get(f.name, str))
     ns, _unknown = parser.parse_known_args(argv)
 
+    if ns.config and ns.config != base_card and ns.config not in CARDS:
+        parser.error(
+            f"unknown --config {ns.config!r}; choose from: {', '.join(sorted(CARDS))}"
+        )
     card_cls = CARDS.get(ns.config, cls) if ns.config else cls
     args = card_cls() if issubclass(card_cls, cls) else cls()
     for f in fields(cls):
