@@ -25,7 +25,7 @@ def main(argv=None):
     from condmdi_tpu.diffusion.sampling import SamplerConfig
     from condmdi_tpu.evals.evaluator import EvaluatorWrapper
     from condmdi_tpu.evals.harness import EvalConfig, evaluation, generate_eval_batch
-    from condmdi_tpu.models.text import HashTextEncoder
+    from condmdi_tpu.models.text import encoder_name, make_text_encoder
     from condmdi_tpu.sampling.pipeline import SamplePipeline
     from condmdi_tpu.sampling.synthesize import load_model_for_sampling
     from condmdi_tpu.utils.config import EvalArgs, parse_args
@@ -47,7 +47,8 @@ def main(argv=None):
         SamplerConfig(method="ddim" if args.use_ddim else "ddpm"),
     )
 
-    enc = HashTextEncoder()
+    enc = make_text_encoder(args)
+    synthetic_data = False
     data_cfg_rel = DatasetConfig(max_motion_length=T, abs_3d=False, split="test")
     data_cfg_abs = DatasetConfig(max_motion_length=T, abs_3d=True, split="test")
     try:
@@ -56,7 +57,15 @@ def main(argv=None):
         ds_rel = Text2MotionDataset(data_cfg_rel)
         ds_abs = Text2MotionDataset(data_cfg_abs)
     except FileNotFoundError:
-        print("HumanML3D assets absent — using synthetic data (relative numbers only)")
+        import warnings
+
+        warnings.warn(
+            "HumanML3D assets absent — evaluating on SYNTHETIC data. The "
+            "report will carry synthetic_data=true; its numbers are NOT "
+            "comparable to paper numbers.",
+            stacklevel=2,
+        )
+        synthetic_data = True
         ds_rel = SyntheticMotionDataset(data_cfg_rel, size=B * 2, seed=1)
         ds_abs = SyntheticMotionDataset(data_cfg_abs, size=B * 2, seed=1)
 
@@ -86,9 +95,19 @@ def main(argv=None):
     eval_ckpt = Path("t2m/text_mot_match/model/finest.tar")
     if eval_ckpt.exists():
         evaluator = EvaluatorWrapper.from_torch_checkpoint(str(eval_ckpt))
+        evaluator_source = "checkpoint"
     else:
-        print("T2M evaluator checkpoint absent — random-init evaluator")
+        import warnings
+
+        warnings.warn(
+            "T2M evaluator checkpoint absent — using a RANDOM-INIT evaluator. "
+            "FID/R-precision from this run are meaningless as absolute "
+            "numbers; the report will carry evaluator=random_init.",
+            stacklevel=2,
+        )
         evaluator = EvaluatorWrapper.random_init(0)
+        evaluator_source = "random_init"
+
 
     def generate_fn(rep):
         return [
@@ -105,6 +124,26 @@ def main(argv=None):
     summary = evaluation(evaluator, gt_batches, generate_fn, cfg, vec, str(log_file))
     for k, v in summary.items():
         print(f"{k}: {v['mean']} ± {v['conf']}")
+
+    # self-describing report: a reader must be able to tell synthetic runs
+    # from real ones without knowing how the run was launched
+    import json
+
+    meta = {
+        "synthetic_data": synthetic_data,
+        "evaluator": evaluator_source,
+        "text_encoder": encoder_name(enc),
+        "eval_mode": args.eval_mode,
+        "edit_mode": args.edit_mode,
+        "replications": reps,
+        "model_path": args.model_path,
+    }
+    try:
+        blob = json.loads(log_file.read_text())
+    except Exception:
+        blob = {}
+    blob["meta"] = meta
+    log_file.write_text(json.dumps(blob, indent=1, default=str))
     return summary
 
 

@@ -19,7 +19,9 @@ This module therefore defines text encoding as an interface producing
 from __future__ import annotations
 
 import hashlib
-from typing import Protocol, Sequence
+import os
+import warnings
+from typing import Optional, Protocol, Sequence
 
 import numpy as np
 
@@ -63,6 +65,14 @@ class CachedTextEncoder:
     def encode(self, texts: Sequence[str]) -> np.ndarray:
         out = np.zeros((len(texts), CLIP_DIM), dtype=np.float32)
         missing = [t for t in texts if t not in self.table]
+        if missing:
+            warnings.warn(
+                f"CachedTextEncoder: {len(missing)}/{len(texts)} captions not in "
+                f"the embedding table (e.g. {missing[0]!r}); falling back to "
+                f"{type(self.fallback).__name__} for those — outputs for them "
+                "are NOT real CLIP embeddings",
+                stacklevel=2,
+            )
         fb = self.fallback.encode(missing) if missing else None
         mi = 0
         for i, t in enumerate(texts):
@@ -72,3 +82,91 @@ class CachedTextEncoder:
                 out[i] = fb[mi]
                 mi += 1
         return out
+
+
+# --------------------------------------------------------------------------- #
+# Encoder resolution (CLI plumbing)
+# --------------------------------------------------------------------------- #
+_CLIP_CKPT_CANDIDATES = (
+    "save/clip/ViT-B-32.pt",
+    "dataset/ViT-B-32.pt",
+)
+
+
+def find_clip_checkpoint() -> Optional[str]:
+    """Discover a CLIP ViT-B/32 checkpoint ($CONDMDI_CLIP_CKPT, then known
+    locations). The reference downloads it implicitly via `clip.load`
+    (mdm.py:173); here it is an explicit, discoverable asset."""
+    env = os.environ.get("CONDMDI_CLIP_CKPT", "")
+    for c in (env, *_CLIP_CKPT_CANDIDATES):
+        if c and os.path.isfile(c):
+            return c
+    return None
+
+
+def encoder_name(enc: TextEncoder) -> str:
+    """Short self-describing tag recorded in output artifacts."""
+    return {
+        "HashTextEncoder": "hash",
+        "CachedTextEncoder": "cached",
+        "ClipTextEncoder": "clip",
+    }.get(type(enc).__name__, type(enc).__name__)
+
+
+def make_text_encoder(args=None, *, mode: Optional[str] = None,
+                      embeddings_path: Optional[str] = None,
+                      clip_checkpoint: Optional[str] = None) -> TextEncoder:
+    """Resolve the text encoder for a CLI run.
+
+    Mirrors the reference's conditioning source (frozen CLIP ViT-B/32,
+    mdm.py:214-231) with explicit control:
+      --text_encoder auto    cached npz if given, else CLIP if a checkpoint is
+                             discoverable, else HashTextEncoder with a LOUD
+                             warning (asset-free environments);
+      --text_encoder clip    require a CLIP checkpoint (error if absent);
+      --text_encoder cached  require --text_embeddings <npz>;
+      --text_encoder hash    explicit opt-in to pseudo-embeddings.
+    """
+    mode = mode or getattr(args, "text_encoder", "auto") or "auto"
+    npz = embeddings_path if embeddings_path is not None else getattr(
+        args, "text_embeddings", "") or ""
+    ckpt = clip_checkpoint if clip_checkpoint is not None else getattr(
+        args, "clip_checkpoint", "") or ""
+
+    if mode == "hash":
+        return HashTextEncoder()
+    if mode == "cached":
+        if not npz:
+            raise ValueError("--text_encoder cached requires --text_embeddings <npz> "
+                             "(produce one with scripts/export_text_embeddings.py)")
+        return CachedTextEncoder.from_npz(npz)
+    if mode == "clip":
+        ckpt = ckpt or find_clip_checkpoint()
+        if not ckpt:
+            raise ValueError(
+                "--text_encoder clip requires a CLIP ViT-B/32 checkpoint: pass "
+                "--clip_checkpoint, set $CONDMDI_CLIP_CKPT, or place it at "
+                + " or ".join(_CLIP_CKPT_CANDIDATES)
+            )
+        from condmdi_tpu.models.clip import ClipTextEncoder
+
+        return ClipTextEncoder.from_torch_checkpoint(ckpt)
+    if mode == "auto":
+        if npz:
+            return CachedTextEncoder.from_npz(npz)
+        ckpt = ckpt or find_clip_checkpoint()
+        if ckpt:
+            from condmdi_tpu.models.clip import ClipTextEncoder
+
+            return ClipTextEncoder.from_torch_checkpoint(ckpt)
+        warnings.warn(
+            "no CLIP checkpoint or embedding table found — text conditioning "
+            "falls back to HashTextEncoder (deterministic pseudo-embeddings). "
+            "Outputs are NOT conditioned on real text semantics. Pass "
+            "--text_embeddings <npz> or provide a CLIP checkpoint "
+            "(--clip_checkpoint / $CONDMDI_CLIP_CKPT); use --text_encoder hash "
+            "to silence this warning.",
+            stacklevel=2,
+        )
+        return HashTextEncoder()
+    raise ValueError(f"unknown --text_encoder {mode!r} (auto|clip|cached|hash)")

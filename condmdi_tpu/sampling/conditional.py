@@ -24,7 +24,7 @@ def main(argv=None):
 
     from condmdi_tpu.data.dataset import DatasetConfig, SyntheticMotionDataset, collate
     from condmdi_tpu.diffusion.sampling import SamplerConfig
-    from condmdi_tpu.models.text import HashTextEncoder
+    from condmdi_tpu.models.text import encoder_name, make_text_encoder
     from condmdi_tpu.sampling.pipeline import SamplePipeline, build_inpainting_state
     from condmdi_tpu.sampling.synthesize import load_model_for_sampling
     from condmdi_tpu.training.keyframes import get_keyframes_mask
@@ -69,10 +69,12 @@ def main(argv=None):
 
         if not DEFAULT_PATH.exists():
             make_synthetic_fixture(DEFAULT_PATH, n=max(args.num_samples, 8), T=n_frames)
-        batch = load_fixed_dataset(args.num_samples, text_encoder=HashTextEncoder())
+        encoder = make_text_encoder(args)
+        batch = load_fixed_dataset(args.num_samples, text_encoder=encoder)
     else:
+        encoder = make_text_encoder(args)
         batch = collate(
-            [ds[i] for i in range(args.num_samples)], n_frames, HashTextEncoder()
+            [ds[i] for i in range(args.num_samples)], n_frames, encoder
         )
     B = batch["motion"].shape[0]
 
@@ -148,6 +150,7 @@ def main(argv=None):
             "observed_motion": np.asarray(obs_x0),
             "observed_mask": np.asarray(obs_mask),
             "edit_mode": args.edit_mode,
+            "text_encoder": encoder_name(encoder),
         },
     )
     print(f"saved {out_dir/'results.npy'}")

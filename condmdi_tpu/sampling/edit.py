@@ -23,7 +23,7 @@ def main(argv=None):
 
     from condmdi_tpu.data.dataset import DatasetConfig, SyntheticMotionDataset, collate
     from condmdi_tpu.diffusion.sampling import SamplerConfig
-    from condmdi_tpu.models.text import HashTextEncoder
+    from condmdi_tpu.models.text import encoder_name, make_text_encoder
     from condmdi_tpu.sampling.pipeline import SamplePipeline, build_inpainting_state
     from condmdi_tpu.sampling.synthesize import load_model_for_sampling
     from condmdi_tpu.training.keyframes import get_keyframes_mask
@@ -52,7 +52,8 @@ def main(argv=None):
         ds = Text2MotionDataset(data_cfg)
     except FileNotFoundError:
         ds = SyntheticMotionDataset(data_cfg, size=max(args.num_samples, 4))
-    batch = collate([ds[i] for i in range(args.num_samples)], n_frames, HashTextEncoder())
+    encoder = make_text_encoder(args)
+    batch = collate([ds[i] for i in range(args.num_samples)], n_frames, encoder)
     B = batch["motion"].shape[0]
 
     inpainted_motion = jnp.asarray(batch["motion"])
@@ -119,6 +120,7 @@ def main(argv=None):
             "inpainted_motion": np.asarray(inpainted_motion),
             "inpainting_mask": np.asarray(inpainting_mask),
             "edit_mode": args.edit_mode,
+            "text_encoder": encoder_name(encoder),
         },
     )
     print(f"saved {out_dir/'results.npy'}")

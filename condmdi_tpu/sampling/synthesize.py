@@ -66,7 +66,7 @@ def main(argv=None):
 
     from condmdi_tpu.data.dataset import DatasetConfig, SyntheticMotionDataset
     from condmdi_tpu.diffusion.sampling import SamplerConfig
-    from condmdi_tpu.models.text import HashTextEncoder
+    from condmdi_tpu.models.text import encoder_name, make_text_encoder
     from condmdi_tpu.sampling.pipeline import SamplePipeline
     from condmdi_tpu.utils.config import GenerateArgs, parse_args
 
@@ -78,7 +78,7 @@ def main(argv=None):
     model, params, sched, dcfg = load_model_for_sampling(args)
     F = model.njoints * model.nfeats
 
-    encoder = HashTextEncoder()
+    encoder = make_text_encoder(args)
     text_embed = jnp.asarray(encoder.encode(texts))
 
     def apply_fn(x, t, y, **kw):
@@ -121,6 +121,7 @@ def main(argv=None):
             "lengths": np.concatenate(all_lengths, axis=0),
             "num_samples": B,
             "num_repetitions": args.num_repetitions,
+            "text_encoder": encoder_name(encoder),
         },
     )
     print(f"saved {out_dir/'results.npy'}")

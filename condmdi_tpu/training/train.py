@@ -188,7 +188,7 @@ def main(argv=None):
 
     from condmdi_tpu.data.dataset import DatasetConfig, get_dataset_loader
     from condmdi_tpu.models.factory import create_gaussian_diffusion, create_model
-    from condmdi_tpu.models.text import HashTextEncoder
+    from condmdi_tpu.models.text import make_text_encoder
     from condmdi_tpu.utils.config import TrainArgs, parse_args, save_args_json
 
     args = parse_args(TrainArgs, argv, base_card="motion_abs_unet_adagn_xl")
@@ -209,7 +209,7 @@ def main(argv=None):
         std_scale_shift=tuple(args.std_scale_shift),
         drop_redundant=args.drop_redundant,
     )
-    encoder = HashTextEncoder()
+    encoder = make_text_encoder(args)
     loader = get_dataset_loader(
         data_cfg, args.batch_size, text_encoder=encoder,
         process_index=jax.process_index(), process_count=jax.process_count(),

@@ -110,6 +110,19 @@ class TrainingOptions:
 
 
 @dataclass
+class TextOptions:
+    """Text-conditioning source (reference: frozen CLIP, mdm.py:214-231).
+
+    'auto' resolves cached npz → CLIP checkpoint → HashTextEncoder (loud
+    warning); see models/text.make_text_encoder.
+    """
+
+    text_encoder: str = "auto"  # auto | clip | cached | hash
+    text_embeddings: str = ""  # npz from scripts/export_text_embeddings.py
+    clip_checkpoint: str = ""  # CLIP ViT-B/32 .pt for the JAX CLIP tower
+
+
+@dataclass
 class SamplingOptions:
     model_path: str = ""
     output_dir: str = ""
@@ -183,14 +196,15 @@ class EvaluationOptions:
 # --------------------------------------------------------------------------- #
 @dataclass
 class TrainArgs(
-    BaseOptions, DataOptions, ModelOptions, DiffusionOptions, TrainingOptions
+    BaseOptions, DataOptions, ModelOptions, DiffusionOptions, TextOptions,
+    TrainingOptions,
 ):
     pass
 
 
 @dataclass
 class GenerateArgs(
-    BaseOptions, DataOptions, ModelOptions, DiffusionOptions,
+    BaseOptions, DataOptions, ModelOptions, DiffusionOptions, TextOptions,
     SamplingOptions, GenerateOptions,
 ):
     pass
@@ -198,7 +212,7 @@ class GenerateArgs(
 
 @dataclass
 class CondSyntArgs(
-    BaseOptions, DataOptions, ModelOptions, DiffusionOptions,
+    BaseOptions, DataOptions, ModelOptions, DiffusionOptions, TextOptions,
     SamplingOptions, GenerateOptions, CondSyntOptions,
 ):
     pass
@@ -206,7 +220,7 @@ class CondSyntArgs(
 
 @dataclass
 class EvalArgs(
-    BaseOptions, DataOptions, ModelOptions, DiffusionOptions,
+    BaseOptions, DataOptions, ModelOptions, DiffusionOptions, TextOptions,
     SamplingOptions, GenerateOptions, CondSyntOptions, EvaluationOptions,
 ):
     pass
