@@ -76,6 +76,12 @@ class EvalConfig:
     run_mm: bool = False
     max_frames: int = 196
     batch_size: int = 32
+    # False: legacy text-to-motion protocol (eval/eval_humanml.py) — no
+    # keyframe observation is fed to the model
+    keyframe_conditioned: bool = True
+    # report traj/keyframe error metrics (GMD's two-stage protocol reports
+    # them even though the model itself is not keyframe-concat conditioned)
+    report_keyframe_metrics: bool = True
 
 
 @dataclass
@@ -119,14 +125,17 @@ def generate_eval_batch(
     motion_abs = rel_to_abs3d(motion_rel, rel_stats, abs_stats) if model_is_abs else motion_rel
 
     rng, mask_rng, sample_rng = jax.random.split(rng, 3)
-    obs_mask = get_keyframes_mask(
-        mask_rng, lengths, T,
-        edit_mode=cfg.edit_mode,
-        trans_length=cfg.transition_length,
-        feature_mode=cfg.editable_features,
-        n_keyframes=cfg.n_keyframes,
-    )
-    obs_mask = obs_mask & jnp.asarray(batch["time_mask"])[..., None]
+    if cfg.keyframe_conditioned:
+        obs_mask = get_keyframes_mask(
+            mask_rng, lengths, T,
+            edit_mode=cfg.edit_mode,
+            trans_length=cfg.transition_length,
+            feature_mode=cfg.editable_features,
+            n_keyframes=cfg.n_keyframes,
+        )
+        obs_mask = obs_mask & jnp.asarray(batch["time_mask"])[..., None]
+    else:
+        obs_mask = jnp.zeros((B, T, F), bool)
 
     y = {"text_embed": jnp.asarray(batch["text_embed"])}
     if cache_path is not None and os.path.exists(cache_path):
@@ -134,10 +143,14 @@ def generate_eval_batch(
         sample = jnp.asarray(cached["sample"])
         obs_mask = jnp.asarray(cached["obs_mask"])
     else:
+        obs_kw = (
+            dict(obs_x0=motion_abs, obs_mask=obs_mask)
+            if cfg.keyframe_conditioned else {}
+        )
         sample = pipe.sample(
             sample_rng, (B, T, F), y,
             guidance_param=cfg.guidance_param,
-            obs_x0=motion_abs, obs_mask=obs_mask,
+            **obs_kw,
         )
         if cache_path is not None:
             os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
@@ -231,8 +244,14 @@ def evaluation(
 
     results = {
         "matching_score": [], "r_precision": [], "fid": [], "diversity": [],
-        "traj_error": [], "keyframe_error": [], "skating_ratio": [],
+        "skating_ratio": [],
     }
+    # the legacy eval_humanml protocol reports no keyframe metrics
+    # (reference :166-292)
+    report_kf = cfg.report_keyframe_metrics
+    if report_kf:
+        results["traj_error"] = []
+        results["keyframe_error"] = []
     if cfg.run_mm and generate_mm_fn is not None:
         results["multimodality"] = []
     for rep in range(cfg.replication_times):
@@ -246,8 +265,9 @@ def evaluation(
         results["r_precision"].append(scores["r_precision"])
         results["fid"].append(fid)
         results["diversity"].append(diversity)
-        results["traj_error"].append(scores["traj_error"])
-        results["keyframe_error"].append(scores["keyframe_error"])
+        if report_kf:
+            results["traj_error"].append(scores["traj_error"])
+            results["keyframe_error"].append(scores["keyframe_error"])
         results["skating_ratio"].append(scores["skating_ratio"])
         if cfg.run_mm and generate_mm_fn is not None:
             reps_batches = generate_mm_fn(rep)  # [R] lists of batches

@@ -1,14 +1,13 @@
-"""Evaluation CLI (reference `python -m eval.eval_humanml_condmdi`).
+"""Legacy text-to-motion evaluation CLI (reference eval/eval_humanml.py).
+
+The MDM-style protocol: sample the model from TEXT ONLY (classifier-free
+guidance, no keyframe observation) and score matching / R-precision / FID /
+diversity / skating (+ multimodality in mm_short) against the test split
+over N replications (reference eval_humanml.py:166-292, mode table :345-372).
 
 Usage:
-  python -m condmdi_tpu.evals.run --model_path save/x/ckpt_... \
-      --edit_mode benchmark_sparse --transition_length 10 \
-      --eval_mode wo_mm|debug|mm_short
-
-eval modes (reference eval_humanml_condmdi.py:490-516):
-  debug     5 replications
-  wo_mm     20 replications, no multimodality (paper protocol)
-  mm_short  5 replications + multimodality (30 repeats, 10 times)
+  python -m condmdi_tpu.evals.run_t2m --model_path save/mdm/ckpt_... \
+      --guidance_param 2.5 --eval_mode wo_mm|debug|mm_short
 """
 
 from __future__ import annotations
@@ -36,11 +35,11 @@ def main(argv=None):
     from condmdi_tpu.utils.config import EvalArgs, parse_args
 
     args = parse_args(EvalArgs, argv)
-    args.keyframe_conditioned = True
+    args.keyframe_conditioned = False  # text-only protocol
     mode = EVAL_MODES.get(args.eval_mode, EVAL_MODES["wo_mm"])
 
     T = args.num_frames
-    B = 32  # fixed eval batch (reference :455)
+    B = 32
 
     model, params, sched, dcfg = load_model_for_sampling(args)
 
@@ -56,16 +55,14 @@ def main(argv=None):
     ds_rel, ds_abs, gt_batches, synthetic_data = load_eval_datasets(args, T, B, enc)
 
     cfg = EvalConfig(
-        edit_mode=args.edit_mode,
-        transition_length=args.transition_length,
-        editable_features=args.editable_features,
-        n_keyframes=args.n_keyframes,
         guidance_param=args.guidance_param,
         replication_times=mode["replication_times"],
         run_mm=mode["run_mm"],
         mm_num_times=mode["mm_num_times"],
         max_frames=T,
         batch_size=B,
+        keyframe_conditioned=False,
+        report_keyframe_metrics=False,
     )
 
     vec = load_word_vectorizer()
@@ -75,19 +72,17 @@ def main(argv=None):
         return [
             generate_eval_batch(
                 pipe, b, jax.random.key(args.seed + rep * 1000 + i), cfg,
-                ds_abs.stats, ds_rel.stats,
+                ds_abs.stats, ds_rel.stats, model_is_abs=args.abs_3d,
             )
             for i, b in enumerate(gt_batches)
         ]
 
     def generate_mm_fn(rep):
-        # mm_num_repeats independent samplings of the first batch subset
-        # (reference mm_num_samples=100 ≈ 3 batches; scaled to what we have)
         return [
             [
                 generate_eval_batch(
                     pipe, b, jax.random.key(9_000_000 + rep * 10_000 + r * 100 + i),
-                    cfg, ds_abs.stats, ds_rel.stats,
+                    cfg, ds_abs.stats, ds_rel.stats, model_is_abs=args.abs_3d,
                 )
                 for i, b in enumerate(gt_batches[:3])
             ]
@@ -96,7 +91,7 @@ def main(argv=None):
 
     out_dir = Path(args.model_path).parent if args.model_path else Path("save/eval_out")
     out_dir.mkdir(parents=True, exist_ok=True)
-    log_file = out_dir / f"eval_{args.edit_mode}_{args.eval_mode}.json"
+    log_file = out_dir / f"eval_humanml_{args.eval_mode}.json"
     summary = evaluation(
         evaluator, gt_batches, generate_fn, cfg, vec, str(log_file),
         generate_mm_fn=generate_mm_fn if mode["run_mm"] else None,
@@ -104,12 +99,12 @@ def main(argv=None):
     print_summary(summary)
 
     write_report_meta(log_file, {
-        "protocol": "condmdi",
+        "protocol": "eval_humanml (legacy t2m)",
         "synthetic_data": synthetic_data,
         "evaluator": evaluator_source,
         "text_encoder": encoder_name(enc),
         "eval_mode": args.eval_mode,
-        "edit_mode": args.edit_mode,
+        "guidance_param": args.guidance_param,
         "replications": mode["replication_times"],
         "model_path": args.model_path,
     })

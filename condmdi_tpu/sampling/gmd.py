@@ -159,14 +159,21 @@ def two_stage_generate(
     y_motion: dict,
     classifier_scale: float = 100.0,
     impute_until: int = 1,
+    target: Optional[Array] = None,
+    target_mask: Optional[Array] = None,
 ):
     """Stage 1: trajectory model guided toward keyframe targets.
     Stage 2: motion model imputing the generated root channels
-    (reference get_inpainting_motion_from_traj, condition.py:294)."""
+    (reference get_inpainting_motion_from_traj, condition.py:294).
+
+    Targets come from `kframes` (shared across the batch, the sample-CLI
+    path) or directly from per-sample (target, target_mask) [B,T,22,3]
+    arrays (the eval_humanml_condition protocol path)."""
     from condmdi_tpu.diffusion.sampling import ddpm_sample_loop
     from condmdi_tpu.sampling.pipeline import build_inpainting_state
 
-    target, target_mask = kframes_to_target(kframes, batch_size, n_frames)
+    if target is None:
+        target, target_mask = kframes_to_target(kframes, batch_size, n_frames)
     guide = CondKeyLocations(
         target, target_mask, traj_stats, abs_3d=True, traj_only=True
     )

@@ -189,6 +189,10 @@ class EvaluationOptions:
     guidance_param: float = 2.5
     impute_until: Optional[int] = None
     skip_first: Optional[int] = None
+    # GMD two-stage protocol (evals.run_condition): the stage-1 trajectory
+    # model checkpoint; empty = random init (smoke/protocol testing only)
+    traj_model_path: str = ""
+    classifier_scale: float = 100.0
 
 
 # --------------------------------------------------------------------------- #

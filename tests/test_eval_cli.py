@@ -24,3 +24,71 @@ class TestEvalCLI:
         ])
         assert np.isfinite(summary["fid"]["mean"])
         assert np.isfinite(summary["keyframe_error"]["mean"])
+
+
+class TestLegacyT2MProtocol:
+    """eval_humanml (MDM-style text-only) protocol end-to-end
+    (reference eval/eval_humanml.py:166-292)."""
+
+    def test_debug_eval_runs(self, tmp_path):
+        import json
+        from pathlib import Path
+
+        from condmdi_tpu.evals.run_t2m import main
+
+        summary = main([
+            "--eval_mode", "debug",
+            "--diffusion_steps", "4",
+            "--num_frames", "32",
+            "--latent_dim", "16",
+            "--ff_size", "32",
+            "--layers", "1",
+            "--guidance_param", "2.5",
+            "--num_samples", "32",
+            "--model_path", "",
+            "--text_encoder", "hash",
+        ])
+        assert np.isfinite(summary["fid"]["mean"])
+        assert np.isfinite(summary["matching_score"]["mean"])
+        assert len(summary["r_precision"]["mean"]) == 3
+        # the legacy protocol has NO keyframe metrics
+        assert "keyframe_error" not in summary
+        assert "traj_error" not in summary
+        report = json.loads(
+            Path("save/eval_out/eval_humanml_debug.json").read_text()
+        )
+        assert report["meta"]["protocol"].startswith("eval_humanml")
+        assert report["meta"]["synthetic_data"] is True
+
+
+class TestGMDConditionProtocol:
+    """eval_humanml_condition (GMD two-stage) protocol end-to-end
+    (reference eval/eval_humanml_condition.py:22-112)."""
+
+    def test_debug_eval_runs(self, tmp_path):
+        import json
+        from pathlib import Path
+
+        from condmdi_tpu.evals.run_condition import main
+
+        summary = main([
+            "--eval_mode", "debug",
+            "--diffusion_steps", "4",
+            "--num_frames", "32",
+            "--latent_dim", "16",
+            "--arch", "unet",
+            "--dim_mults", "1", "2",
+            "--num_samples", "32",
+            "--model_path", "",
+            "--text_encoder", "hash",
+        ])
+        assert np.isfinite(summary["fid"]["mean"])
+        # trajectory-error vector: [traj_fail_20cm, traj_fail_50cm,
+        # kps_fail_20cm, kps_fail_50cm, kps_mean_err]
+        assert len(summary["traj_error"]["mean"]) == 5
+        assert np.isfinite(summary["keyframe_error"]["mean"])
+        report = json.loads(
+            Path("save/eval_out/eval_condition_debug.json").read_text()
+        )
+        assert report["meta"]["random_init_models"] is True
+        assert "two-stage" in report["meta"]["protocol"]
