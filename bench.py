@@ -2,18 +2,24 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Default model: the MDM transformer encoder — BASELINE.json's north-star
-config ("MDM transformer-encoder denoiser ... fused Pallas attention") —
-measured 7.2-7.4 samples/s/chip ≈ 26× baseline. `BENCH_MODEL=unet`
-benchmarks CondMDI's keyframe-conditioned UNet-XL instead (the paper's
-conditional model; 4.76 samples/s ≈ 17×). `BENCH_BATCH` overrides the
-batch (default 64).
+Default model (the headline): CondMDI's keyframe-conditioned UNet-XL — the
+paper's flagship conditional model on its own benchmark task — in the int8
+serving path (same checkpoint; QConv quantizes in-graph). Measured ≈7.2
+samples/s/chip ≈ 26× baseline. The int8 path is quality-gated against bf16:
+  (1) whole-sampler DDIM trajectory closeness int8-vs-bf16
+      (tests/test_quant.py::TestInt8WholeSampler), and
+  (2) keyframe-error delta vs bf16 on a synthetic-trained conditional
+      checkpoint (tests/test_int8_gate.py; numbers in BENCH_NOTES.md).
+`BENCH_MODEL` overrides: `unet` = the same model in bf16 (≈4.8 ≈ 17×),
+`mdm` = the MDM transformer encoder north-star config (Pallas fused
+attention, ≈7.5 ≈ 27×), `mdm_int8`. `BENCH_BATCH` overrides batch (64).
 
 Baseline derivation: the reference's paper eval (eval_humanml_condmdi wo_mm:
 1000 samples × 20 replications of 196-frame 1000-step DDPM sampling) takes
 ~20 h on one A100-class GPU (README.md:238) → ≈ 0.278 samples/sec/GPU
-including evaluator overhead; sampling dominates. vs_baseline = measured /
-0.278.
+including evaluator overhead; sampling dominates (this folds evaluator
+overhead into the denominator, so treat vs_baseline as an upper-bound-style
+anchor — sampling itself dominates that 20 h).
 """
 
 from __future__ import annotations
@@ -47,7 +53,7 @@ def main() -> None:
     from condmdi_tpu.diffusion.sampling import SamplerConfig, ddpm_sample_loop
 
     B = int(os.environ.get("BENCH_BATCH", "64"))
-    which = os.environ.get("BENCH_MODEL", "mdm")
+    which = os.environ.get("BENCH_MODEL", "unet_int8")
     T, F = 196, 263
     STEPS = 1000
 
@@ -79,7 +85,9 @@ def main() -> None:
         obs_x0 = jnp.asarray(rng.standard_normal((B, T, F)).astype(np.float32) * 0.1)
         obs_mask = jnp.zeros((B, T, F), bool).at[:, ::10, :].set(True)
         params = model.init(jax.random.key(0), x, t0, y, obs_x0=obs_x0, obs_mask=obs_mask)
-        label = "CondMDI UNet-XL keyframe-conditioned" + (" int8" if which == "unet_int8" else "")
+        label = "CondMDI UNet-XL keyframe-conditioned" + (
+            " int8 serving path (bf16-parity gated)" if which == "unet_int8" else " bf16"
+        )
 
     # bf16 params + activations: TPU-native precision for inference
     params = jax.tree_util.tree_map(

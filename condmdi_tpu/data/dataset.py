@@ -414,7 +414,12 @@ def get_dataset_loader(cfg: DatasetConfig, batch_size: int, text_encoder=None, *
     try:
         ds = Text2MotionDataset(cfg)
     except FileNotFoundError:
-        ds = SyntheticMotionDataset(cfg, size=max(batch_size * 4, 64))
+        # $CONDMDI_SYNTHETIC_SIZE overrides (bigger = less memorization when
+        # training gate/proof models on synthetic data)
+        import os
+
+        size = int(os.environ.get("CONDMDI_SYNTHETIC_SIZE", 0)) or max(batch_size * 4, 64)
+        ds = SyntheticMotionDataset(cfg, size=size)
     return DataLoader(
         ds, batch_size, cfg.max_motion_length, text_encoder=text_encoder, **kw
     )

@@ -80,6 +80,7 @@ def create_model(args):
             keyframe_conditioned=getattr(args, "keyframe_conditioned", False),
             zero_keyframe_loss=getattr(args, "zero_keyframe_loss", False),
             pad_frames_to=224,
+            precision_mode=getattr(args, "precision_mode", "float"),
         )
     return MDM(
         njoints=dims["njoints"],
@@ -92,6 +93,7 @@ def create_model(args):
         cond_mask_prob=args.cond_mask_prob,
         arch=arch,
         emb_trans_dec=getattr(args, "emb_trans_dec", False),
+        precision_mode=getattr(args, "precision_mode", "float"),
     )
 
 

@@ -17,12 +17,24 @@ import numpy as np
 
 
 def load_model_for_sampling(args):
-    """Build model + diffusion; load Orbax ckpt or converted torch .pt."""
+    """Build model + diffusion; load Orbax ckpt or converted torch .pt.
+
+    When --model_path is set and an args.json sits next to the checkpoint,
+    model/data/diffusion options are reloaded from it first, CLI flags
+    winning (reference parse_and_load_from_model, parser_util.py:566-603).
+    """
     import jax
     import jax.numpy as jnp
 
     from condmdi_tpu.models.factory import create_model, create_gaussian_diffusion
     from condmdi_tpu.utils import checkpoint as ckpt
+    from condmdi_tpu.utils.config import load_args_from_model
+
+    mp0 = getattr(args, "model_path", "")
+    if mp0 and (Path(mp0).parent / "args.json").exists():
+        args = load_args_from_model(
+            args, mp0, cli_overridden=getattr(args, "_cli_overridden", ())
+        )
 
     model = create_model(args)
     sched, dcfg = create_gaussian_diffusion(args)
@@ -47,7 +59,12 @@ def load_model_for_sampling(args):
             params = loaded
         else:
             restored = ckpt.load_checkpoint(mp)
-            params = {"params": restored.get("ema_params", restored.get("params"))}
+            loaded = restored.get("ema_params") or restored.get("params")
+            # training saves the FULL flax variables dict ({'params': ...},
+            # training/train.py:168) — don't wrap it twice
+            params = loaded if isinstance(loaded, dict) and "params" in loaded else {
+                "params": loaded
+            }
     return model, params, sched, dcfg
 
 

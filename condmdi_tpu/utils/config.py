@@ -61,6 +61,9 @@ class ModelOptions:
     keyframe_conditioned: bool = False
     keyframe_selection_scheme: str = "random_frames"
     zero_keyframe_loss: bool = False
+    # TPU-build extra: 'int8' switches QConv/QDense to the quantized serving
+    # path (~1.5x on the UNet; same checkpoint). No reference equivalent.
+    precision_mode: str = "float"  # float | int8
 
 
 @dataclass
@@ -360,12 +363,17 @@ def parse_args(cls, argv=None, base_card: Optional[str] = None):
         )
     card_cls = CARDS.get(ns.config, cls) if ns.config else cls
     args = card_cls() if issubclass(card_cls, cls) else cls()
+    overridden = set()
     for f in fields(cls):
         v = getattr(ns, f.name, None)
         if v is not None:
             if get_origin(hints.get(f.name)) is tuple:
                 v = tuple(v)
             setattr(args, f.name, v)
+            overridden.add(f.name)
+    # names the user set on the CLI — load_args_from_model must not clobber
+    # them (reference parser_util.py:579 get_args_per_group_name logic)
+    args._cli_overridden = overridden
     return args
 
 

@@ -1,0 +1,122 @@
+"""int8 serving-path quality gate on a REAL (synthetic-)trained checkpoint.
+
+bench.py's headline is the CondMDI UNet-XL in the int8 serving path; its
+promotion over bf16 is gated on quality, not just speed:
+
+  gate 1 — whole-sampler trajectory closeness on random weights
+           (tests/test_quant.py::TestInt8WholeSampler);
+  gate 2 — THIS file: on the committed checkpoint trained to convergence on
+           synthetic motion (save/synthetic_unet_s), the
+           benchmark_sparse keyframe error of int8 sampling
+           must match bf16 sampling within a few percent, and the sampled
+           motions themselves must stay close.
+
+Full-protocol numbers (1000-step DDPM, 20 replications, real chip) are
+recorded in BENCH_NOTES.md; this test reproduces the gate in minutes on CPU
+with a respaced sampler — quantization error is per-step, so step count
+does not favor int8.
+"""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from condmdi_tpu.utils.checkpoint import latest_checkpoint
+
+CKPT = latest_checkpoint(Path(__file__).resolve().parent.parent / "save/synthetic_unet_s")
+
+pytestmark = pytest.mark.skipif(CKPT is None, reason="gate checkpoint absent")
+
+
+@pytest.fixture(scope="module")
+def gate_setup():
+    from condmdi_tpu.data.dataset import DatasetConfig, SyntheticMotionDataset, collate
+    from condmdi_tpu.models.text import HashTextEncoder
+    from condmdi_tpu.sampling.synthesize import load_model_for_sampling
+    from condmdi_tpu.utils.config import EvalArgs, parse_args
+
+    B, T = 8, 196
+    args = parse_args(EvalArgs, [
+        "--model_path", str(CKPT),
+        "--timestep_respacing", "ddim25", "--use_ddim", "true",
+        "--guidance_param", "1.0",
+    ])
+    ds = SyntheticMotionDataset(
+        DatasetConfig(max_motion_length=T, abs_3d=True, split="test"), size=B, seed=5
+    )
+    batch = collate([ds[i] for i in range(B)], T, HashTextEncoder())
+    return args, ds, batch, B, T
+
+
+def _sample(args, batch, B, T, precision_mode):
+    import dataclasses
+
+    from condmdi_tpu.diffusion.sampling import SamplerConfig
+    from condmdi_tpu.sampling.pipeline import SamplePipeline
+    from condmdi_tpu.sampling.synthesize import load_model_for_sampling
+    from condmdi_tpu.training.keyframes import get_keyframes_mask
+
+    args = dataclasses.replace(args, precision_mode=precision_mode)
+    args._cli_overridden = {"precision_mode", "timestep_respacing", "use_ddim"}
+    model, params, sched, dcfg = load_model_for_sampling(args)
+
+    def apply_fn(x, t, y, **kw):
+        return model.apply(params, x, t, y, **kw)
+
+    pipe = SamplePipeline(apply_fn, sched, dcfg, SamplerConfig(method="ddim", eta=0.0))
+    obs_x0 = jnp.asarray(batch["motion"])
+    obs_mask = get_keyframes_mask(
+        jax.random.key(7), jnp.asarray(batch["lengths"]), T,
+        edit_mode="benchmark_sparse", trans_length=10,
+    )
+    obs_mask = obs_mask & jnp.asarray(batch["time_mask"])[..., None]
+    y = {"text_embed": jnp.asarray(batch["text_embed"])}
+    sample = pipe.sample(
+        jax.random.key(11), (B, T, 263), y, obs_x0=obs_x0, obs_mask=obs_mask
+    )
+    return np.asarray(sample), np.asarray(obs_mask)
+
+
+def _keyframe_error(sample, batch, obs_mask, ds):
+    from condmdi_tpu.data.humanml_repr import recover_from_ric
+    from condmdi_tpu.evals.harness import compute_kps_error
+    from condmdi_tpu.evals.metrics import calculate_keyframe_error
+
+    cur = np.asarray(recover_from_ric(jnp.asarray(ds.denormalize(sample)), 22, abs_3d=True))
+    gt = np.asarray(
+        recover_from_ric(jnp.asarray(ds.denormalize(np.asarray(batch["motion"]))), 22, abs_3d=True)
+    )
+    kf = obs_mask.any(axis=2)
+    err, num = compute_kps_error(cur, gt, kf, traj_only=False)
+    return calculate_keyframe_error(err, num)
+
+
+class TestInt8KeyframeErrorGate:
+    def test_keyframe_error_delta_small(self, gate_setup):
+        args, ds, batch, B, T = gate_setup
+        s_f, m_f = _sample(args, batch, B, T, "float")
+        s_q, m_q = _sample(args, batch, B, T, "int8")
+        np.testing.assert_array_equal(m_f, m_q)
+
+        kf_f = _keyframe_error(s_f, batch, m_f, ds)
+        kf_q = _keyframe_error(s_q, batch, m_q, ds)
+        delta = abs(kf_q - kf_f) / max(kf_f, 1e-9)
+        # the gate: int8 keyframe error within 5% of bf16 on a trained model
+        assert delta < 0.05, (kf_f, kf_q, delta)
+
+        # and the sampled motions themselves stay close (no compounding)
+        rel = np.abs(s_q - s_f).mean() / (np.abs(s_f).mean() + 1e-9)
+        assert rel < 0.10, rel
+
+    def test_trained_model_beats_trivial_baseline(self, gate_setup):
+        """Sanity that the gate checkpoint is a real model: its keyframe
+        error must beat the all-zeros 'prediction' by a wide margin."""
+        args, ds, batch, B, T = gate_setup
+        s_f, m_f = _sample(args, batch, B, T, "float")
+        kf_f = _keyframe_error(s_f, batch, m_f, ds)
+        kf_zero = _keyframe_error(np.zeros_like(s_f), batch, m_f, ds)
+        assert kf_f < 0.5 * kf_zero, (kf_f, kf_zero)
