@@ -42,15 +42,33 @@ KFRAME_PATTERNS = {
 }
 
 
-def get_kframes(pattern: str = "square", ground_positions: Optional[np.ndarray] = None):
-    """Keyframe (frame, (x, z)) list; from GT positions when provided."""
+def get_kframes(
+    pattern: str = "square",
+    ground_positions: Optional[np.ndarray] = None,
+    interpolate: bool = False,
+):
+    """Keyframe (frame, (x, z)) list; from GT positions when provided.
+
+    interpolate=True densifies the pattern to every frame via linear
+    interpolation (reference keyframe_pattern.py:144 interpolate_kps)."""
     if ground_positions is not None:
         k_positions = list(range(1, 120)) + [119]
         return [
             (k, (float(ground_positions[k - 1, 0, 0]), float(ground_positions[k - 1, 0, 2])))
             for k in sorted(set(k_positions))
         ]
-    return list(KFRAME_PATTERNS[pattern])
+    kframes = list(KFRAME_PATTERNS[pattern])
+    if interpolate:
+        last_frame = kframes[-1][0]
+        traj = interpolate_kframes_trajectory(kframes, last_frame + 1)
+        kframes = [(t, (float(traj[t, 0]), float(traj[t, 1]))) for t in range(last_frame + 1)]
+    return kframes
+
+
+def get_obstacles() -> list[tuple[float, float, float]]:
+    """Circular xz-plane obstacles (x, z, radius) for the SDF avoidance task
+    (reference keyframe_pattern.py:133-141)."""
+    return [(4.0, 1.5, 0.7), (0.7, 1.5, 0.6)]
 
 
 # ---- target builders (condition.py:10-31) ---------------------------------- #
@@ -135,8 +153,12 @@ class CondKeyLocationsWithSdf(CondKeyLocations):
         feats = pred_xstart * jnp.asarray(self.stats.std[: pred_xstart.shape[-1]]) + jnp.asarray(
             self.stats.mean[: pred_xstart.shape[-1]]
         )
-        joints = recover_from_ric(feats, 22, abs_3d=self.abs_3d)
-        traj = joints[:, :cut, 0, :][..., (0, 2)]
+        if self.traj_only:
+            # 4-dim trajectory features (rot, x, z, y): pelvis xz at 1:3
+            traj = jnp.stack([feats[..., 1], feats[..., 2]], axis=-1)[:, :cut]
+        else:
+            joints = recover_from_ric(feats, 22, abs_3d=self.abs_3d)
+            traj = joints[:, :cut, 0, :][..., (0, 2)]
         sdf_loss = 0.0
         for (ox, oz, r) in self.obstacles:
             d = jnp.linalg.norm(traj - jnp.asarray([ox, oz]), axis=-1)
@@ -161,6 +183,8 @@ def two_stage_generate(
     impute_until: int = 1,
     target: Optional[Array] = None,
     target_mask: Optional[Array] = None,
+    obstacles: Optional[Sequence[tuple[float, float, float]]] = None,
+    use_mse_loss: bool = False,
 ):
     """Stage 1: trajectory model guided toward keyframe targets.
     Stage 2: motion model imputing the generated root channels
@@ -174,9 +198,17 @@ def two_stage_generate(
 
     if target is None:
         target, target_mask = kframes_to_target(kframes, batch_size, n_frames)
-    guide = CondKeyLocations(
-        target, target_mask, traj_stats, abs_3d=True, traj_only=True
-    )
+    if obstacles:
+        # sdf mode (reference generate.py:442): keyframe loss + obstacle SDF
+        guide = CondKeyLocationsWithSdf(
+            target, target_mask, traj_stats, abs_3d=True, traj_only=True,
+            use_mse_loss=use_mse_loss, obstacles=tuple(obstacles),
+        )
+    else:
+        guide = CondKeyLocations(
+            target, target_mask, traj_stats, abs_3d=True, traj_only=True,
+            use_mse_loss=use_mse_loss,
+        )
 
     rng, r1, r2 = jax.random.split(rng, 3)
     traj_denoise = traj_pipe.denoiser(y_traj, 1.0)

@@ -100,6 +100,8 @@ class SamplePipeline:
         obs_mask: Optional[Array] = None,
         inpaint: Optional[InpaintingState] = None,
         noise: Optional[Array] = None,
+        cond_loss_fn: Optional[Callable[[Array, Array], Array]] = None,
+        cond_scale: float = 1.0,
     ) -> Array:
         denoise = self.denoiser(y, guidance_param, obs_x0, obs_mask)
         method = self.sampler.method
@@ -111,9 +113,16 @@ class SamplePipeline:
             loop = plms_sample_loop
         else:
             raise ValueError(method)
+        extra = {}
+        if cond_loss_fn is not None:
+            if method != "ddpm":
+                # gradient guidance rides the DDPM posterior mean only
+                # (reference condition_mean, gaussian_diffusion.py:1149)
+                raise ValueError("cond_loss_fn guidance requires the ddpm sampler")
+            extra = dict(cond_loss_fn=cond_loss_fn, cond_scale=cond_scale)
         return loop(
             denoise, self.sched, self.dcfg, shape, rng,
-            noise=noise, inpaint=inpaint, sampler=self.sampler,
+            noise=noise, inpaint=inpaint, sampler=self.sampler, **extra,
         )
 
     def sample_to_joints(

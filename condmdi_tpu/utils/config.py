@@ -183,6 +183,16 @@ class GMDOptions:
     gen_mse_loss: bool = True
     p2p_impute: bool = True
     interactive: bool = False
+    interpolate_cond: bool = False
+    # stop trajectory imputation this many (respaced) steps before the end
+    # (reference generate.py motion_impute_until; 0 = impute through t=0)
+    stop_imputation_at: int = 0
+    # stage-1 trajectory model for the two-stage (kps/sdf) modes; empty =
+    # random init (smoke only, recorded in the results metadata)
+    traj_model_path: str = ""
+    # hand-authored keyframe pattern (sampling/gmd.KFRAME_PATTERNS); empty =
+    # the reference's per-mode default (zigzag for kps, sdf_obstacle for sdf)
+    kframe_pattern: str = ""
 
 
 @dataclass
@@ -223,6 +233,14 @@ class CondSyntArgs(
     SamplingOptions, GenerateOptions, CondSyntOptions,
 ):
     pass
+
+
+@dataclass
+class GMDGenerateArgs(
+    BaseOptions, DataOptions, ModelOptions, DiffusionOptions, TextOptions,
+    SamplingOptions, GenerateOptions, GMDOptions,
+):
+    """Args for the GMD guided-generation CLI (reference sample/gmd/generate.py)."""
 
 
 @dataclass

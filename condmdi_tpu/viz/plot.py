@@ -123,3 +123,39 @@ def plot_conditional_samples(
             )
         )
     return paths
+
+
+def plot_trajectory_with_kframes(
+    joints: Optional[np.ndarray],  # [T, 22, 3] or None
+    kframes: Sequence[tuple[int, tuple[float, float]]],
+    obstacles: Optional[Sequence[tuple[float, float, float]]],
+    path: str | Path,
+):
+    """Top-down xz plot: generated pelvis trajectory, keyframe targets, and
+    SDF obstacles (reference sample/gmd/generate.py trajectory logging via
+    log_trajectory_from_xstart, condition.py:90)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.patches import Circle
+
+    fig, ax = plt.subplots(figsize=(5, 5))
+    if joints is not None:
+        ax.plot(joints[:, 0, 0], joints[:, 0, 2], "-", color="tab:blue",
+                label="pelvis trajectory")
+    if kframes:
+        ks = np.array([p for _, p in kframes], np.float32)
+        ax.scatter(ks[:, 0], ks[:, 1], marker="x", color="tab:red",
+                   label="keyframe targets", zorder=3)
+    for (ox, oz, r) in obstacles or ():
+        ax.add_patch(Circle((ox, oz), r, color="gray", alpha=0.4))
+    ax.set_xlabel("x")
+    ax.set_ylabel("z")
+    ax.set_aspect("equal")
+    ax.legend(loc="best", fontsize=8)
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(path, dpi=96, bbox_inches="tight")
+    plt.close(fig)
+    return path
