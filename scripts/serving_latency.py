@@ -27,6 +27,9 @@ def main(argv=None):
     ap.add_argument("--model", choices=("unet", "mdm"), default="unet")
     ap.add_argument("--reps", type=int, default=20)
     ap.add_argument("--frames", type=int, default=196)
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny model + few steps: CPU smoke of the measurement "
+                         "paths, not a real latency number")
     args = ap.parse_args(argv)
 
     import jax
@@ -40,13 +43,16 @@ def main(argv=None):
     )
     from condmdi_tpu.diffusion.sampling import SamplerConfig, ddpm_sample_loop, ddim_sample_loop
 
-    B, T, F = 1, args.frames, 263
+    B, T, F = 1, (28 if args.tiny else args.frames), 263
     if args.model == "unet":
         from condmdi_tpu.models.unet import MDM_UNET
 
         model = MDM_UNET(
-            njoints=F, latent_dim=512, dim_mults=(2, 2, 2, 2),
-            keyframe_conditioned=True, pad_frames_to=224,
+            njoints=F,
+            latent_dim=16 if args.tiny else 512,
+            dim_mults=(1, 2) if args.tiny else (2, 2, 2, 2),
+            keyframe_conditioned=True,
+            pad_frames_to=32 if args.tiny else 224,
         )
         kw = dict(
             obs_x0=jnp.zeros((B, T, F), jnp.bfloat16),
@@ -55,7 +61,10 @@ def main(argv=None):
     else:
         from condmdi_tpu.models.mdm import MDM
 
-        model = MDM(njoints=F, latent_dim=512, ff_size=1024, num_layers=8, num_heads=4)
+        if args.tiny:
+            model = MDM(njoints=F, latent_dim=32, ff_size=64, num_layers=1, num_heads=2)
+        else:
+            model = MDM(njoints=F, latent_dim=512, ff_size=1024, num_layers=8, num_heads=4)
         kw = {}
 
     y = {"text_embed": jnp.zeros((B, 512), jnp.bfloat16)}
@@ -65,7 +74,14 @@ def main(argv=None):
         lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, params
     )
 
-    def measure(name, steps, use_ddim):
+    def measure(name, steps, use_ddim, flat=False, reps=None):
+        """flat=False: reps nested in one jitted lax.scan (one program, one
+        dispatch). flat=True: ONE request per jitted call, reps back-to-back
+        host dispatches — the shape a real serving loop has, and a flat
+        program the axon relay times reliably once total ≥10 s (the nested
+        high-rep scans hit transient `UNAVAILABLE: TPU device error`s;
+        BENCH_NOTES.md)."""
+        reps = reps or args.reps
         base = get_named_beta_schedule("cosine", 1000)
         if steps == 1000:
             sched = DiffusionSchedule.create(base)
@@ -75,34 +91,69 @@ def main(argv=None):
             )
         loop = ddim_sample_loop if use_ddim else ddpm_sample_loop
 
-        @jax.jit
-        def serve_n(params, key):
+        def denoise_with(params):
             def denoise(x_t, t):
                 out = model.apply(params, x_t.astype(jnp.bfloat16), t, y, **kw)
                 return out.astype(x_t.dtype)
 
-            def one(carry, k):
+            return denoise
+
+        if flat:
+            @jax.jit
+            def serve_one(params, key):
                 out = loop(
-                    denoise, sched, DiffusionConfig(), (B, T, F), k,
-                    sampler=SamplerConfig(),
+                    denoise_with(params), sched, DiffusionConfig(), (B, T, F),
+                    key, sampler=SamplerConfig(),
                 )
-                return carry + jnp.mean(out), ()
+                return jnp.mean(out)
 
-            keys = jax.random.split(key, args.reps)
-            acc, _ = jax.lax.scan(one, jnp.zeros(()), keys)
-            return acc
+            serve_one(params, jax.random.key(0)).block_until_ready()  # compile
+            keys = [jax.random.key(i + 1) for i in range(reps)]
+            t0 = time.perf_counter()
+            last = None
+            for k in keys:
+                last = serve_one(params, k)
+            last.block_until_ready()
+            total = time.perf_counter() - t0
+        else:
+            @jax.jit
+            def serve_n(params, key):
+                def one(carry, k):
+                    out = loop(
+                        denoise_with(params), sched, DiffusionConfig(),
+                        (B, T, F), k, sampler=SamplerConfig(),
+                    )
+                    return carry + jnp.mean(out), ()
 
-        serve_n(params, jax.random.key(0)).block_until_ready()  # compile
-        t0 = time.perf_counter()
-        serve_n(params, jax.random.key(1)).block_until_ready()
-        total = time.perf_counter() - t0
-        lat_ms = total / args.reps * 1e3
-        print(f"{name:22s} {lat_ms:9.1f} ms/request  ({total:.1f} s / {args.reps} reqs)")
+                keys = jax.random.split(key, reps)
+                acc, _ = jax.lax.scan(one, jnp.zeros(()), keys)
+                return acc
+
+            serve_n(params, jax.random.key(0)).block_until_ready()  # compile
+            t0 = time.perf_counter()
+            serve_n(params, jax.random.key(1)).block_until_ready()
+            total = time.perf_counter() - t0
+        lat_ms = total / reps * 1e3
+        mode = "flat-dispatch" if flat else "nested-scan"
+        print(
+            f"{name:22s} {lat_ms:9.1f} ms/request  "
+            f"({total:.1f} s / {reps} reqs, {mode})"
+        )
+        if total < 10.0:
+            print(f"  WARNING: total {total:.1f}s < 10s axon timing trust floor — raise reps")
         return lat_ms
 
-    print(f"model={args.model} B=1 T={T} bf16")
+    print(f"model={args.model} B=1 T={T} bf16{' TINY-SMOKE' if args.tiny else ''}")
+    if args.tiny:
+        measure("ddpm-full (smoke)", 1000, use_ddim=False, reps=2)
+        measure("ddim-50 (smoke-flat)", 50, use_ddim=True, flat=True, reps=3)
+        measure("ddim-50 (smoke-scan)", 50, use_ddim=True, reps=2)
+        return
     measure("ddpm-1000 (paper)", 1000, use_ddim=False)
-    measure("ddim-50 (serving)", 50, use_ddim=True)
+    # flat mode: reps sized so total comfortably exceeds the 10 s trust floor
+    measure("ddim-50 (serving)", 50, use_ddim=True, flat=True,
+            reps=max(args.reps, 400))
+    measure("ddim-50 (scan)", 50, use_ddim=True)
 
 
 if __name__ == "__main__":
