@@ -94,6 +94,7 @@ def create_model(args):
         arch=arch,
         emb_trans_dec=getattr(args, "emb_trans_dec", False),
         precision_mode=getattr(args, "precision_mode", "float"),
+        out_mult=int(getattr(args, "out_mult", 1) or 1),
     )
 
 

@@ -124,6 +124,61 @@ class TransformerDecoderLayer(nn.Module):
         return nn.LayerNorm(epsilon=1e-5, name="norm3")(x + h)
 
 
+def cal_multiple(n: int, multiple: int) -> int:
+    """Round n up to the next multiple (reference model/mdm.py:426)."""
+    return n if n % multiple == 0 else (n // multiple + 1) * multiple
+
+
+def _interleave_channels(a: Array, b: Array, groups: int) -> Array:
+    """Per-group channel-block interleave (reference model/mdm.py:436,
+    `interleave`): group g of the result is [a's block g, b's block g].
+    Channels-last equivalent of the torch reshape→concat→reshape trick."""
+    B, T, Ca = a.shape
+    Cb = b.shape[-1]
+    a = a.reshape(B, T, groups, Ca // groups)
+    b = b.reshape(B, T, groups, Cb // groups)
+    return jnp.concatenate([a, b], axis=-1).reshape(B, T, Ca + Cb)
+
+
+class OutputProcessLarge(nn.Module):
+    """Grouped-conv output head (reference model/mdm.py:455, the hard-coded
+    large_out_type=4 branch), selected by arch='*_large' (reference :151-158).
+
+    Combines the transformer latent with a skip connection from the raw
+    input features through per-feature grouped convs: both paths are
+    widened ×out_mult with feature_group_count=input_feats, interleaved
+    per feature group, then reduced back to input_feats. Dead experimental
+    variant upstream; kept for arch/checkpoint compatibility.
+    """
+
+    input_feats: int
+    latent_dim: int
+    out_mult: int = 1
+
+    @nn.compact
+    def __call__(self, out: Array, skip: Array) -> Array:
+        from condmdi_tpu.models.unet import mish
+
+        F_, D, m = self.input_feats, self.latent_dim, self.out_mult
+        skip = nn.Conv(
+            m * F_, (5,), padding=2, feature_group_count=F_, name="skip_conv"
+        )(skip)
+        latent_in = cal_multiple(D, F_)
+        h = out
+        if D != latent_in:
+            h = nn.Conv(latent_in, (1,), name="latent_proj")(h)
+        h = nn.Conv(
+            m * latent_in, (5,), padding=2, feature_group_count=F_,
+            name="latent_conv",
+        )(h)
+        c = _interleave_channels(h, skip, F_)
+        c = nn.Conv(
+            m * F_, (5,), padding=2, feature_group_count=F_, name="final_conv1"
+        )(c)
+        c = mish(c)
+        return nn.Conv(F_, (1,), feature_group_count=F_, name="final_conv2")(c)
+
+
 class MDM(nn.Module):
     """Motion Diffusion Model transformer denoiser."""
 
@@ -143,6 +198,7 @@ class MDM(nn.Module):
     cond_mask_prob: float = 0.1
     num_actions: int = 1
     precision_mode: str = "float"  # 'float' | 'int8' serving path
+    out_mult: int = 1  # OutputProcessLarge width multiplier (arch='*_large')
 
     @property
     def input_feats(self) -> int:
@@ -239,4 +295,9 @@ class MDM(nn.Module):
         else:
             raise ValueError(f"unknown arch {self.arch}")
 
+        if self.arch.endswith("_large"):  # reference mdm.py:151-158
+            return OutputProcessLarge(
+                self.input_feats, self.latent_dim, self.out_mult,
+                name="output_process_large",
+            )(out, x)
         return nn.Dense(self.input_feats, name="output_process")(out)  # [B, T, F]

@@ -167,3 +167,92 @@ class TestAttention:
         k = jnp.asarray(rng.standard_normal((2, 1, 64)).astype(np.float32))
         out = mha(q, k, k, num_heads=4)
         assert out.shape == (2, 30, 64)
+
+
+class TestOutputProcessLarge:
+    """Parity vs the reference OutputProcessLarge (model/mdm.py:455,
+    large_out_type=4) with converted torch weights."""
+
+    F_, D, M, TT, BB = 12, 16, 2, 9, 2  # latent_in = cal_multiple(16,12) = 24
+
+    def test_cal_multiple(self):
+        from condmdi_tpu.models.mdm import cal_multiple
+
+        assert cal_multiple(16, 12) == 24
+        assert cal_multiple(24, 12) == 24
+        assert cal_multiple(1, 12) == 12
+
+    def test_torch_parity(self, reference_path):
+        import sys
+        import types
+
+        import torch
+
+        # stub clip/smplx so the reference model module imports (the head
+        # under test touches neither) — same recipe as test_checkpoint.py
+        if "clip" not in sys.modules:
+            sys.modules["clip"] = types.SimpleNamespace(
+                load=None, tokenize=None,
+                model=types.SimpleNamespace(convert_weights=None),
+            )
+        if "smplx" not in sys.modules:
+            smplx_stub = types.ModuleType("smplx")
+            smplx_stub.__path__ = []
+            smplx_stub.SMPLLayer = object
+            smplx_stub.SMPL = object
+            lbs = types.ModuleType("smplx.lbs")
+            lbs.vertices2joints = lambda *a, **k: None
+            body_models = types.ModuleType("smplx.body_models")
+            body_models.SMPLOutput = object
+            smplx_stub.lbs = lbs
+            smplx_stub.body_models = body_models
+            sys.modules["smplx"] = smplx_stub
+            sys.modules["smplx.lbs"] = lbs
+            sys.modules["smplx.body_models"] = body_models
+
+        from model.mdm import OutputProcessLarge as TorchOPL
+
+        from condmdi_tpu.models.mdm import OutputProcessLarge
+
+        torch.manual_seed(0)
+        ref = TorchOPL("hml_vec", self.F_, self.D, self.F_, 1, self.M).eval()
+
+        rng = np.random.default_rng(0)
+        out_np = rng.standard_normal((self.TT, self.BB, self.D)).astype(np.float32)
+        skip_np = rng.standard_normal((self.TT, self.BB, self.F_)).astype(np.float32)
+        with torch.no_grad():
+            want = ref(torch.from_numpy(out_np), torch.from_numpy(skip_np))
+        want = want.numpy()[:, :, 0, :].transpose(0, 2, 1)  # [B, T, F]
+
+        def conv(prefix):
+            sd = ref.state_dict()
+            return {
+                "kernel": jnp.asarray(sd[f"{prefix}.weight"].numpy().transpose(2, 1, 0)),
+                "bias": jnp.asarray(sd[f"{prefix}.bias"].numpy()),
+            }
+
+        params = {"params": {
+            "skip_conv": conv("skip_conv.1"),
+            "latent_proj": conv("latent_conv.1"),
+            "latent_conv": conv("latent_conv.2"),
+            "final_conv1": conv("final_conv.0"),
+            "final_conv2": conv("final_conv.2"),
+        }}
+        mod = OutputProcessLarge(self.F_, self.D, self.M)
+        got = np.asarray(mod.apply(
+            params,
+            jnp.asarray(out_np.transpose(1, 0, 2)),   # [B, T, D]
+            jnp.asarray(skip_np.transpose(1, 0, 2)),  # [B, T, F]
+        ))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_mdm_large_arch(self):
+        model = MDM(njoints=F, latent_dim=64, ff_size=128, num_layers=2,
+                    num_heads=4, arch="trans_enc_large", out_mult=2)
+        x = jnp.zeros((B, 24, F))
+        t = jnp.zeros((B,), jnp.int32)
+        y = {"text_embed": jnp.zeros((B, 512))}
+        params = model.init(jax.random.key(0), x, t, y)
+        assert "output_process_large" in params["params"]
+        out = model.apply(params, x, t, y)
+        assert out.shape == (B, 24, F)
