@@ -25,3 +25,29 @@ Layout (mirrors SURVEY.md layer map, bottom-up):
 """
 
 __version__ = "0.1.0"
+
+
+def _honor_jax_platforms_env() -> None:
+    """Make an explicit `JAX_PLATFORMS=cpu` actually select CPU.
+
+    This image's axon TPU plugin pins `jax.config.jax_platforms="axon,cpu"`
+    at interpreter start (sitecustomize → axon.register), and jax's config
+    beats the env var — so `JAX_PLATFORMS=cpu python -m condmdi_tpu...`
+    would silently run on the TPU (or hang if another process holds it).
+    If the user asked for a non-axon platform set, enforce it in-process,
+    which is the authoritative path (same recipe as tests/conftest.py).
+    """
+    import os
+
+    env = os.environ.get("JAX_PLATFORMS", "")
+    if env and "axon" not in env and "proxy" not in env:
+        import jax
+
+        try:
+            if jax.config.jax_platforms != env:
+                jax.config.update("jax_platforms", env)
+        except Exception:
+            pass
+
+
+_honor_jax_platforms_env()

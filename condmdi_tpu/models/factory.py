@@ -79,7 +79,7 @@ def create_model(args):
             xz_only=getattr(args, "xz_only", False),
             keyframe_conditioned=getattr(args, "keyframe_conditioned", False),
             zero_keyframe_loss=getattr(args, "zero_keyframe_loss", False),
-            pad_frames_to=224,
+            pad_frames_to=int(getattr(args, "unet_pad_to", 224) or 224),
             precision_mode=getattr(args, "precision_mode", "float"),
         )
     return MDM(

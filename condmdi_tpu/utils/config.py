@@ -51,6 +51,11 @@ class ModelOptions:
     unet_adagn: bool = True
     unet_zero: bool = True
     unet_attention: bool = False
+    # UNet frame padding (must be divisible by 2^(levels-1)). The reference
+    # hardcodes 224 (its data loader pads all HumanML3D clips to 224); keep
+    # 224 for converted reference checkpoints. For self-trained models 200
+    # is the tight choice for 196-frame data: same samples, ~11% fewer FLOPs.
+    unet_pad_to: int = 224
     out_mult: int = 1
     cond_mask_prob: float = 0.1
     keyframe_mask_prob: float = 0.1
@@ -102,6 +107,11 @@ class TrainingOptions:
     save_interval: int = 100_000
     num_steps: int = 1_200_000
     resume_checkpoint: str = ""
+    # 'auto' caches the collated dataset in device HBM when it is small
+    # (<1 GiB) and gathers batches on-device — per-step host→device traffic
+    # drops from the full batch (~13 MB) to a [B] index vector. HumanML3D's
+    # 263-d features fit comfortably; 'false' streams from the host loader.
+    device_data_cache: str = "auto"  # auto | true | false
     apply_zero_mask: bool = False
     traj_extra_weight: float = 1.0
     time_weighted_loss: bool = False

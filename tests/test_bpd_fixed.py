@@ -44,6 +44,7 @@ class TestBPD:
 
 
 class TestFixedDataset:
+    @pytest.mark.slow
     def test_fixture_round_trip(self, tmp_path):
         from condmdi_tpu.data.fixed_dataset import (
             load_fixed_dataset,

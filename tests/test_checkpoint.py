@@ -67,6 +67,7 @@ class TestTransformerLayerParity:
         )
 
 
+@pytest.mark.slow
 class TestUNetParity:
     @pytest.fixture(scope="class")
     def ref_unet(self, reference_path, torch_mod):

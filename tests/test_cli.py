@@ -4,6 +4,9 @@ import numpy as np
 import pytest
 
 
+
+pytestmark = pytest.mark.slow  # protocol/e2e scale; fast gate skips
+
 def _common(tmp_path, extra):
     return [
         "--diffusion_steps", "8",

@@ -14,6 +14,7 @@ from condmdi_tpu.models.clip import (
 
 
 class TestClipTextModel:
+    @pytest.mark.slow
     def test_forward_shape_and_eot_pooling(self):
         model = ClipTextModel(vocab_size=100, context_length=16, width=32,
                               layers=2, heads=4, embed_dim=24)

@@ -105,6 +105,7 @@ class TestExtractFeatures:
         self.ref_mp = ref_mp
         self.paramUtil = paramUtil
 
+    @pytest.mark.slow
     def test_extract_features_matches_reference(self):
         joints = plausible_motion(40)
         theirs = self.ref_mp.extract_features(

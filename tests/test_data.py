@@ -14,6 +14,7 @@ from condmdi_tpu.models.text import HashTextEncoder
 
 
 class TestSyntheticDataset:
+    @pytest.mark.slow
     def test_shapes_and_normalization(self):
         cfg = DatasetConfig(max_motion_length=64, abs_3d=True)
         ds = SyntheticMotionDataset(cfg, size=8, seed=0)

@@ -39,6 +39,7 @@ class TestDiTVariants:
         out1, out2 = model.apply(params, x, t, y)
         assert out1.shape == out2.shape == (B, T, F)
 
+    @pytest.mark.slow
     def test_timestep_conditioning_matters(self):
         model, params, _, _, y = build("dit_prenorm")
         x = jax.random.normal(jax.random.key(1), (B, T, F))

@@ -3,6 +3,11 @@
 import numpy as np
 
 
+
+import pytest
+
+pytestmark = pytest.mark.slow  # protocol/e2e scale; fast gate skips
+
 class TestEvalCLI:
     def test_debug_eval_runs(self, tmp_path):
         from condmdi_tpu.evals.run import main

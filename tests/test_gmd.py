@@ -109,6 +109,7 @@ class TestGradientGuidance:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+@pytest.mark.slow
 class TestTwoStage:
     def test_two_stage_pipeline_runs(self):
         from condmdi_tpu.diffusion.sampling import SamplerConfig

@@ -59,6 +59,7 @@ class TestEvalHarness:
             rel_stats=ds_rel.stats, abs_stats=ds_abs.stats,
         )
 
+    @pytest.mark.slow
     def test_full_evaluation_loop(self, setup, tmp_path):
         from condmdi_tpu.data.word_vectorizer import HashWordVectorizer
         from condmdi_tpu.evals.evaluator import EvaluatorWrapper

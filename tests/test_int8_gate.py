@@ -29,7 +29,7 @@ from condmdi_tpu.utils.checkpoint import latest_checkpoint
 
 CKPT = latest_checkpoint(Path(__file__).resolve().parent.parent / "save/synthetic_unet_s")
 
-pytestmark = pytest.mark.skipif(CKPT is None, reason="gate checkpoint absent")
+pytestmark = [pytest.mark.skipif(CKPT is None, reason="gate checkpoint absent"), pytest.mark.slow]
 
 
 @pytest.fixture(scope="module")

@@ -35,6 +35,9 @@ F = 263
 P_MIN = 1e-4  # reject only on overwhelming evidence of drift
 
 
+
+pytestmark = pytest.mark.slow  # protocol/e2e scale; fast gate skips
+
 @pytest.fixture(scope="module")
 def ref_mask_fn(reference_path):
     import torch

@@ -21,6 +21,9 @@ from condmdi_tpu.training import TrainConfig, create_train_state, make_train_ste
 from condmdi_tpu.training.keyframes import get_keyframes_mask
 
 
+
+pytestmark = pytest.mark.slow  # protocol/e2e scale; fast gate skips
+
 class TestLearningEndToEnd:
     def test_training_improves_inbetweening(self):
         B, T, F, STEPS = 8, 32, 263, 32

@@ -53,6 +53,7 @@ class TestQuantOps:
         assert "kernel" in q["time_mlp"]
 
 
+@pytest.mark.slow
 class TestInt8UNet:
     def test_int8_unet_close_to_float(self):
         """Same checkpoint, precision_mode='int8' vs 'float': outputs close."""

@@ -112,6 +112,7 @@ class TestMarginalReplacement:
         )
 
 
+@pytest.mark.slow
 class TestCFGWithKeyframes:
     def test_cfg_passes_obs_through_both_branches(self):
         from condmdi_tpu.models import MDM_UNET, make_cfg_denoiser

@@ -54,6 +54,7 @@ class TestLBS:
         v1, _ = lbs(model, jnp.ones((B, 10)), eye, body)
         assert not np.allclose(np.asarray(v0), np.asarray(v1))
 
+    @pytest.mark.slow
     def test_differentiable(self, model):
         B, J = 1, model.num_joints
 

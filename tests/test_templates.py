@@ -96,6 +96,7 @@ class TestGenerateGmdCLI:
         expect = (traj - stats.mean[1:3]) / stats.std[1:3]
         np.testing.assert_allclose(res["motion"][0, :, 1:3], expect, atol=1e-4)
 
+    @pytest.mark.slow
     def test_mode_kps_two_stage(self, tmp_path):
         res = _gmd_cli(tmp_path, "kps")
         assert res["motion"].shape == (2, 28, 263)

@@ -6,6 +6,9 @@ import numpy as np
 import pytest
 
 
+
+pytestmark = pytest.mark.slow  # protocol/e2e scale; fast gate skips
+
 class TestTrainCLI:
     def test_short_training_run_and_resume(self, tmp_path, monkeypatch):
         from condmdi_tpu.training.train import main

@@ -51,6 +51,7 @@ def setup(tcfg=None, **model_kw):
 
 
 class TestTrainStep:
+    @pytest.mark.slow
     def test_loss_decreases(self):
         _, state, step_fn, batch = setup()
         losses = []
@@ -72,6 +73,7 @@ class TestTrainStep:
         assert not np.allclose(np.asarray(leaves_p[0]), np.asarray(leaves_e[0]))
         assert np.isfinite(np.asarray(leaves_e[0])).all()
 
+    @pytest.mark.slow
     def test_keyframe_conditioned_training(self):
         tcfg = TrainConfig(
             lr=1e-3, keyframe_conditioned=True,
@@ -132,6 +134,7 @@ class TestLossAwareState:
         np.testing.assert_allclose(w.sum(), 1.0, atol=1e-5)
 
 
+@pytest.mark.slow
 class TestRemat:
     def test_remat_step_matches_plain(self):
         """jax.checkpoint on the denoiser must not change the math."""
@@ -176,6 +179,7 @@ class TestDataParallel:
         np.testing.assert_allclose(np.asarray(l1), np.asarray(l8), atol=2e-4)
 
 
+@pytest.mark.slow
 class TestFSDP:
     def test_fsdp_sharded_step_matches_replicated(self):
         from condmdi_tpu.parallel import make_mesh, replicate, shard_batch, shard_params_fsdp
@@ -197,6 +201,7 @@ class TestFSDP:
         np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=2e-4)
 
 
+@pytest.mark.slow
 class TestTensorParallel:
     def test_tp_sharded_step_matches_single_device(self):
         """Megatron-style dp×tp layout: same loss + same updated params as

@@ -14,6 +14,7 @@ RNG = np.random.default_rng(4)
 
 
 class TestKID:
+    @pytest.mark.slow
     def test_mmd_matches_reference(self, reference_path):
         pytest.importorskip("sklearn")
         from eval.unconstrained.metrics.kid import polynomial_mmd as ref_mmd

@@ -25,6 +25,7 @@ class TestViz:
         assert len(paths) == 2 and all(p.exists() for p in paths)
 
 
+@pytest.mark.slow
 class TestServingWarmup:
     def test_warmup_compiles_buckets(self):
         import jax
