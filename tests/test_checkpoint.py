@@ -207,6 +207,7 @@ class TestTimestepEmbedderParity:
         np.testing.assert_allclose(np.asarray(got), want.detach().numpy(), atol=1e-5)
 
 
+@pytest.mark.slow
 class TestOrbaxRoundTrip:
     def test_save_load(self, tmp_path):
         tree = {

@@ -31,6 +31,7 @@ class TestClipTextModel:
         out2 = model.apply(params, jnp.asarray(ids2))
         np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out2[0]), atol=1e-6)
 
+    @pytest.mark.slow
     def test_block_matches_torch_multihead(self):
         """One CLIP residual block vs torch MultiheadAttention + LN + MLP."""
         import torch

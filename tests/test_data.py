@@ -73,6 +73,7 @@ class TestLoader:
         uniq = {allm[i].tobytes() for i in range(16)}
         assert len(uniq) == 16
 
+    @pytest.mark.slow
     def test_factory_falls_back_to_synthetic(self):
         cfg = DatasetConfig(max_motion_length=32, data_dir="/nonexistent")
         dl = get_dataset_loader(cfg, batch_size=4)

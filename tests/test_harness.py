@@ -110,6 +110,7 @@ class TestEvalHarness:
         np.testing.assert_allclose(err[0, 1], 0.0, atol=1e-6)
         np.testing.assert_allclose(err[1], 0.0, atol=1e-6)
 
+    @pytest.mark.slow
     def test_multimodality_path(self, setup):
         from condmdi_tpu.data.word_vectorizer import HashWordVectorizer
         from condmdi_tpu.evals.evaluator import EvaluatorWrapper

@@ -16,6 +16,7 @@ from condmdi_tpu.viz.joints2smpl import (
 )
 
 
+@pytest.mark.slow
 class TestFitting:
     def test_fit_recovers_synthetic_pose(self):
         model = SMPLModel.random_init(n_vertices=80, seed=0)

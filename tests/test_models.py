@@ -36,6 +36,7 @@ class TestMDM:
         out_u = model.apply(params, x, t, {"text_embed": emb, "uncond": True})
         assert not np.allclose(np.asarray(out_c), np.asarray(out_u))
 
+    @pytest.mark.slow
     def test_trans_dec_and_gru(self):
         for arch in ("trans_dec", "gru"):
             model, params, x, t, y = self._model_and_params(arch=arch)
@@ -182,6 +183,7 @@ class TestOutputProcessLarge:
         assert cal_multiple(24, 12) == 24
         assert cal_multiple(1, 12) == 12
 
+    @pytest.mark.slow
     def test_torch_parity(self, reference_path):
         import sys
         import types

@@ -81,6 +81,7 @@ class TestInt8UNet:
         assert np.isfinite(out_q).all()
 
 
+@pytest.mark.slow
 class TestInt8WholeSampler:
     def test_int8_ddim_trajectory_close_to_float(self):
         """The quality gate the FID check will formalize: identical seed +
@@ -127,6 +128,7 @@ class TestInt8WholeSampler:
         assert np.isfinite(outs["int8"]).all()
 
 
+@pytest.mark.slow
 class TestInt8MDM:
     def test_int8_mdm_close_to_float(self):
         import jax

@@ -27,6 +27,7 @@ def toy_denoise(x, t):
 
 class TestPLMSOrders:
     @pytest.mark.parametrize("order", [3, 4])
+    @pytest.mark.slow
     def test_plms_order_parity(self, reference_path, order):
         import torch
         import diffusion.gaussian_diffusion as gd

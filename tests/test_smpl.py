@@ -32,6 +32,7 @@ class TestLBS:
         np.testing.assert_allclose(np.asarray(verts[0]), v_rest, atol=1e-5)
         np.testing.assert_allclose(np.asarray(joints[0]), j_rest, atol=1e-5)
 
+    @pytest.mark.slow
     def test_global_rotation_rotates_everything(self, model):
         B, J = 1, model.num_joints
         betas = jnp.zeros((B, 10))

@@ -27,6 +27,7 @@ class TestGraph:
 
 
 class TestForwardParity:
+    @pytest.mark.slow
     def test_full_network_matches_reference(self, reference_path):
         import torch
         from eval.a2m.recognition.models.stgcn import STGCN as RefSTGCN

@@ -78,6 +78,7 @@ class TestGenerateGmdCLI:
         assert np.isfinite(res["motion"]).all()
         assert res["guidance_mode"] == "no"
 
+    @pytest.mark.slow
     def test_mode_trajectory_guided_and_inpainted(self, tmp_path):
         res = _gmd_cli(tmp_path, "trajectory")
         assert res["motion"].shape == (2, 28, 263)
@@ -103,6 +104,7 @@ class TestGenerateGmdCLI:
         assert np.isfinite(res["motion"]).all()
         assert res["pattern"] == "zigzag"
 
+    @pytest.mark.slow
     def test_mode_sdf_two_stage_with_obstacles(self, tmp_path):
         res = _gmd_cli(tmp_path, "sdf")
         assert np.isfinite(res["motion"]).all()

@@ -144,6 +144,7 @@ class TestAssetBootstrap:
 
 
 class TestArtifactSelfDescription:
+    @pytest.mark.slow
     def test_synthesize_results_tag(self, tmp_path):
         from condmdi_tpu.sampling.synthesize import main
 

@@ -61,6 +61,7 @@ class TestTrainStep:
         assert losses[-1] < losses[0]
         assert int(state.step) == 15
 
+    @pytest.mark.slow
     def test_ema_tracks_params(self):
         tcfg = TrainConfig(lr=1e-3, avg_model_beta=0.5)
         _, state, step_fn, batch = setup(tcfg=tcfg)
@@ -105,6 +106,7 @@ class TestTrainStep:
         assert "keyframes_mse" in metrics
         assert np.isfinite(float(metrics["loss"]))
 
+    @pytest.mark.slow
     def test_loss_aware_sampler(self):
         tcfg = TrainConfig(lr=1e-3, schedule_sampler="loss-second-moment")
         _, state, step_fn, batch = setup(tcfg=tcfg)

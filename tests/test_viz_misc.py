@@ -61,6 +61,7 @@ class TestServingWarmup:
             srv.shutdown()
 
 
+@pytest.mark.slow
 class TestFixedDatasetCLI:
     def test_conditional_with_fixed_dataset(self, tmp_path, monkeypatch):
         monkeypatch.chdir(tmp_path)
