@@ -185,10 +185,8 @@ def estimate_angular_velocity(rot_seq: Array, dt: float) -> Array:
 
 
 # ---- 764-d field builders (utils.py) ---------------------------------------- #
-FIELD_ORDER = (
-    "trans", "rotmat", "pos", "velocity", "contacts", "height",
-    "root_vel", "global_vel", "global_xform", "root_orient", "rot6d",
-)
+# (the authoritative slot layout is LAYOUT_764 in data/amass.py — golden-
+# tested against the reference; do not re-derive an order here)
 
 
 def fields_from_poses(poses: Array, trans: Array, fk: Optional[ForwardKinematics] = None) -> dict:

@@ -19,7 +19,6 @@ records it).
 
 from __future__ import annotations
 
-import dataclasses
 from pathlib import Path
 
 import numpy as np
@@ -62,7 +61,7 @@ def main(argv=None):
     from condmdi_tpu.sampling.gmd import two_stage_generate
     from condmdi_tpu.sampling.pipeline import SamplePipeline
     from condmdi_tpu.sampling.synthesize import load_model_for_sampling
-    from condmdi_tpu.utils.config import EvalArgs, parse_args
+    from condmdi_tpu.utils.config import EvalArgs, parse_args, replace_args
 
     args = parse_args(EvalArgs, argv)
     args.keyframe_conditioned = False  # GMD models are not keyframe-concat models
@@ -74,7 +73,7 @@ def main(argv=None):
 
     motion_model, motion_params, sched, dcfg = load_model_for_sampling(args)
 
-    traj_args = dataclasses.replace(
+    traj_args = replace_args(
         args, traj_only=True, model_path=args.traj_model_path, arch="unet"
     )
     traj_model, traj_params, traj_sched, traj_dcfg = load_model_for_sampling(traj_args)
@@ -117,7 +116,7 @@ def main(argv=None):
             traj_stats=abs_stats, motion_stats=abs_stats,
             y_traj=y, y_motion=y,
             classifier_scale=args.classifier_scale,
-            impute_until=args.impute_until or 1,
+            impute_until=1 if args.impute_until is None else args.impute_until,
             target=jnp.asarray(target), target_mask=jnp.asarray(target_mask),
         )
         cur_joints = np.asarray(sample_to_motion(sample, abs_stats))

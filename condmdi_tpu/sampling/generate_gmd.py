@@ -33,7 +33,6 @@ branch-free.
 
 from __future__ import annotations
 
-import dataclasses
 from pathlib import Path
 
 import numpy as np
@@ -59,7 +58,7 @@ def main(argv=None):
     from condmdi_tpu.sampling.synthesize import get_text_prompts, load_model_for_sampling
     from condmdi_tpu.sampling.templates import get_template
     from condmdi_tpu.utils.assets import load_norm_stats
-    from condmdi_tpu.utils.config import GMDGenerateArgs, parse_args
+    from condmdi_tpu.utils.config import GMDGenerateArgs, parse_args, replace_args
 
     args = parse_args(GMDGenerateArgs, argv)
     args = get_template(args, args.guidance_mode)
@@ -100,7 +99,7 @@ def main(argv=None):
     traj_pipe = None
     if args.gen_two_stages:
         # kps / sdf: trajectory model -> motion model (generate.py:396+)
-        traj_args = dataclasses.replace(
+        traj_args = replace_args(
             args, traj_only=True, model_path=args.traj_model_path, arch="unet"
         )
         traj_model, traj_params, traj_sched, traj_dcfg = load_model_for_sampling(traj_args)
@@ -137,16 +136,29 @@ def main(argv=None):
 
             inpaint = None
             if args.do_inpaint and mode in ("trajectory", "mdm_legacy"):
-                # impute the p2p trajectory into the root xz channels
-                # (generate.py:498: inpaint_motion_points). For the abs-root
-                # rep the xz locations are feature channels 1:3; mdm_legacy's
-                # relative-root variant imputes the same channels in its own
-                # feature space (generate.py:289 HML_ROOT_MASK[:3]).
                 traj_xz = interpolate_kframes_trajectory(kframes, n_frames)
                 denorm = np.zeros((B, n_frames, F), np.float32)
-                denorm[..., 1:3] = traj_xz[None]
+                if args.abs_3d:
+                    # abs-root rep: channels 1:3 ARE xz world positions —
+                    # impute the p2p trajectory directly
+                    # (generate.py:498 inpaint_motion_points)
+                    denorm[..., 1:3] = traj_xz[None]
+                    ch = slice(1, 3)
+                else:
+                    # mdm_legacy (relative rep): channels 0:3 are root
+                    # rot-velocity + LOCAL xz linear velocity — the
+                    # reference imputes the GT motion's own root channels
+                    # (generate.py:289, HML_ROOT_MASK[:3]). Prompt-driven
+                    # generation has no GT, so encode the p2p trajectory as
+                    # root velocities under an identity-heading
+                    # approximation (rot_vel=0, world≈local frame) instead
+                    # of writing absolute positions into velocity channels.
+                    vel = np.diff(traj_xz, axis=0, append=traj_xz[-1:])
+                    denorm[..., 0] = 0.0
+                    denorm[..., 1:3] = vel[None]
+                    ch = slice(0, 3)
                 motion_norm = (denorm - stats.mean[:F]) / stats.std[:F]
-                m = jnp.zeros((B, n_frames, F), bool).at[..., 1:3].set(True)
+                m = jnp.zeros((B, n_frames, F), bool).at[..., ch].set(True)
                 inpaint = build_inpainting_state(
                     jnp.asarray(motion_norm), m,
                     imputate=True,

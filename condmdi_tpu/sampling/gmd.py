@@ -145,7 +145,7 @@ class CondKeyLocationsWithSdf(CondKeyLocations):
     (x, z, radius); penalizes trajectory points inside an obstacle."""
 
     obstacles: Sequence[tuple[float, float, float]] = ()
-    sdf_weight: float = 1.0
+    sdf_weight: float = 5.0  # reference w_colli (condition.py:598)
 
     def loss_fn(self, pred_xstart: Array, t: Array) -> Array:
         base = CondKeyLocations.loss_fn(self, pred_xstart, t)
@@ -162,7 +162,10 @@ class CondKeyLocationsWithSdf(CondKeyLocations):
         sdf_loss = 0.0
         for (ox, oz, r) in self.obstacles:
             d = jnp.linalg.norm(traj - jnp.asarray([ox, oz]), axis=-1)
-            sdf_loss = sdf_loss + jnp.sum(jax.nn.relu(r - d))
+            # reference condition.py:682: clamp(rad-dist,0).sum()/T * w_colli
+            # — the per-frame normalization keeps the obstacle term at the
+            # reference's relative weight vs the keyframe loss
+            sdf_loss = sdf_loss + jnp.sum(jax.nn.relu(r - d)) / traj.shape[1]
         gate = (t[0] >= self.stop_cond_from).astype(base.dtype)
         return base + self.sdf_weight * sdf_loss * gate
 

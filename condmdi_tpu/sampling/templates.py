@@ -7,14 +7,16 @@ is two-stage (trajectory model -> motion model), and the point-to-point
 imputation flavor.
 
 TPU-native difference: the reference mutates the parsed args in place; here
-the presets are PURE — `dataclasses.replace` returns a new args object so a
+the presets are PURE — `replace_args` returns a new args object (keeping
+the CLI-override bookkeeping so checkpoint args.json merges can't clobber
+template-set or user-set flags) so a
 single parsed config can spawn several preset variants (and so jitted
 closures never see a mutated config).
 """
 
 from __future__ import annotations
 
-import dataclasses
+from condmdi_tpu.utils.config import replace_args
 
 TEMPLATE_NAMES = ("no", "mdm_legacy", "trajectory", "kps", "sdf", "testing")
 
@@ -47,7 +49,7 @@ def get_template(args, template_name: str = "no"):
 def mdm_template(args):
     """Legacy MDM trajectory-imputing mode (generation_template.py:23-34):
     relative-root model, 6-second cut, single-stage, inpainting on."""
-    return dataclasses.replace(
+    return replace_args(
         args,
         motion_length=6.0,
         abs_3d=False,
@@ -60,7 +62,7 @@ def mdm_template(args):
 def trajectory_template(args):
     """Single-stage gradient guidance toward keyframe locations
     (generation_template.py:37-47)."""
-    return dataclasses.replace(
+    return replace_args(
         args,
         do_inpaint=True,
         guidance_mode="trajectory",
@@ -71,7 +73,7 @@ def trajectory_template(args):
 def kps_template(args):
     """Two-stage keyframe-location guidance with point-to-point imputation
     (generation_template.py:50-59)."""
-    return dataclasses.replace(
+    return replace_args(
         args,
         do_inpaint=True,
         guidance_mode="kps",
@@ -83,7 +85,7 @@ def kps_template(args):
 def sdf_template(args):
     """Two-stage keyframe guidance + SDF obstacle avoidance
     (generation_template.py:62-67)."""
-    return dataclasses.replace(
+    return replace_args(
         args,
         do_inpaint=True,
         guidance_mode="sdf",
@@ -95,7 +97,7 @@ def sdf_template(args):
 def testing_template(args):
     """Plain unguided sampling with everything off
     (generation_template.py:70-77)."""
-    return dataclasses.replace(
+    return replace_args(
         args,
         do_inpaint=False,
         guidance_mode="no",

@@ -105,10 +105,32 @@ class TrainLoop:
             return None
         loader = self.data_loader
         ds = loader.dataset
-        n = len(ds)
+        # each process caches only ITS shard (same partition the streaming
+        # DataLoader uses), so multi-host runs keep disjoint data
+        my_idx = list(range(len(ds)))[loader.process_index :: loader.process_count]
+        n = len(my_idx)
+        if n == 0:
+            return None
         try:
+            # estimate size from ONE collated item before collating the
+            # world — 'auto' must not pay a multi-GB host spike just to
+            # decide to skip
+            one = collate([ds[my_idx[0]]], loader.max_motion_length,
+                          loader.text_encoder)
+            one.pop("text", None)
+            one.pop("tokens", None)
+            est = n * sum(
+                a.nbytes for a in jax.tree_util.tree_leaves(one)
+                if hasattr(a, "nbytes")
+            )
+            if mode == "auto" and est > (1 << 30):
+                print(
+                    f"device data cache skipped (dataset ≈{est / 2**20:.0f} MiB"
+                    " > 1 GiB auto cap; pass --device_data_cache true to force)"
+                )
+                return None
             full = collate(
-                [ds[i] for i in range(n)], loader.max_motion_length,
+                [ds[i] for i in my_idx], loader.max_motion_length,
                 loader.text_encoder,
             )
         except Exception as e:
@@ -120,15 +142,10 @@ class TrainLoop:
             a.nbytes for a in jax.tree_util.tree_leaves(full)
             if hasattr(a, "nbytes")
         )
-        if mode == "auto" and nbytes > (1 << 30):
-            print(
-                f"device data cache skipped (dataset {nbytes / 2**20:.0f} MiB "
-                "> 1 GiB auto cap; pass --device_data_cache true to force)"
-            )
-            return None
         full = jax.tree_util.tree_map(jax.device_put, full)
         print(
-            f"device data cache: {n} clips, {nbytes / 2**20:.1f} MiB in HBM; "
+            f"device data cache: {n} clips (process {loader.process_index}/"
+            f"{loader.process_count}), {nbytes / 2**20:.1f} MiB in HBM; "
             "per-step transfer = index vector only"
         )
         return full, n
@@ -145,7 +162,11 @@ class TrainLoop:
         if self.device_data is not None:
             data, n = self.device_data
             B = self.args.batch_size
-            rng = np.random.default_rng(self.args.seed + 17)
+            # distinct stream per process so multi-host runs draw disjoint
+            # (per-shard) AND differently-ordered batches
+            rng = np.random.default_rng(
+                self.args.seed + 17 + 1009 * self.data_loader.process_index
+            )
             gather = jax.jit(
                 lambda d, i: jax.tree_util.tree_map(lambda a: a[i], d)
             )

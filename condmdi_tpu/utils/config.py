@@ -405,6 +405,23 @@ def parse_args(cls, argv=None, base_card: Optional[str] = None):
     return args
 
 
+def replace_args(args, **changes):
+    """`dataclasses.replace` that keeps override bookkeeping intact.
+
+    `parse_args` records CLI-set names in the NON-FIELD attribute
+    `_cli_overridden`, which `dataclasses.replace` silently drops — any
+    later `load_args_from_model` would then clobber the user's explicit
+    flags with the checkpoint's args.json. Programmatic replacements
+    (guidance templates, two-stage traj-model loads) are deliberate
+    overrides too, so the replaced names are ADDED to the marker.
+    """
+    new = dataclasses.replace(args, **changes)
+    new._cli_overridden = set(
+        getattr(args, "_cli_overridden", ()) or ()
+    ) | set(changes)
+    return new
+
+
 def save_args_json(args, path: str | Path):
     d = dataclasses.asdict(args)
     Path(path).parent.mkdir(parents=True, exist_ok=True)

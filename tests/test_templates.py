@@ -124,3 +124,43 @@ class TestGenerateGmdCLI:
         sparse = dict(get_kframes("zigzag"))
         for f, (x, z) in sparse.items():
             np.testing.assert_allclose(dict(dense)[f], (x, z), atol=1e-5)
+
+
+class TestReplaceArgsOverrideBookkeeping:
+    """replace_args must keep + extend _cli_overridden so template-set and
+    CLI-set flags survive the checkpoint args.json merge (a plain
+    dataclasses.replace drops the non-field marker entirely)."""
+
+    def test_cli_and_template_overrides_survive(self):
+        from condmdi_tpu.sampling.templates import get_template
+        from condmdi_tpu.utils.config import GMDGenerateArgs, parse_args, replace_args
+
+        args = parse_args(GMDGenerateArgs, ["--diffusion_steps", "8"])
+        assert "diffusion_steps" in args._cli_overridden
+        out = get_template(args, "kps")
+        assert "diffusion_steps" in out._cli_overridden  # CLI flag kept
+        assert "gen_two_stages" in out._cli_overridden   # template flag added
+
+        out2 = replace_args(out, arch="unet")
+        assert {"diffusion_steps", "gen_two_stages", "arch"} <= set(out2._cli_overridden)
+
+    def test_json_merge_respects_template_fields(self, tmp_path):
+        import json
+
+        from condmdi_tpu.sampling.templates import get_template
+        from condmdi_tpu.utils.config import (
+            GMDGenerateArgs, load_args_from_model, parse_args, save_args_json,
+        )
+
+        # a checkpoint card that disagrees with the template on use_ddim
+        card = parse_args(GMDGenerateArgs, ["--use_ddim", "true"])
+        save_args_json(card, tmp_path / "args.json")
+        (tmp_path / "ckpt_000000001").mkdir()
+
+        args = parse_args(GMDGenerateArgs, [])
+        args = get_template(args, "testing")  # sets use_ddim=False
+        merged = load_args_from_model(
+            args, tmp_path / "ckpt_000000001",
+            cli_overridden=getattr(args, "_cli_overridden", ()),
+        )
+        assert merged.use_ddim is False  # template wins over args.json
