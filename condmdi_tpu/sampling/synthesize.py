@@ -59,7 +59,13 @@ def load_model_for_sampling(args):
             params = loaded
         else:
             restored = ckpt.load_checkpoint(mp)
-            loaded = restored.get("ema_params") or restored.get("params")
+            # EMA-preferred (reference model_util.py load_model: EMA weights
+            # are the eval weights); --use_ema false loads the raw params —
+            # needed e.g. for short runs whose EMA horizon (1/(1-beta))
+            # exceeds the trained steps, where the EMA is still dominated
+            # by the random init
+            use_ema = getattr(args, "use_ema", True)
+            loaded = (restored.get("ema_params") if use_ema else None) or restored.get("params")
             # training saves the FULL flax variables dict ({'params': ...},
             # training/train.py:168) — don't wrap it twice
             params = loaded if isinstance(loaded, dict) and "params" in loaded else {

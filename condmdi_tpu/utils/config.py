@@ -143,6 +143,9 @@ class SamplingOptions:
     num_repetitions: int = 3
     guidance_param: float = 2.5
     keyframe_guidance_param: float = 1.0
+    # EMA weights are the eval weights (reference model_util load_model);
+    # false loads raw params (short runs whose EMA horizon > trained steps)
+    use_ema: bool = True
 
 
 @dataclass

@@ -38,6 +38,52 @@ class TestTrainCLI:
         assert loop2.resume_step >= 3
 
 
+class TestUseEmaFlag:
+    def test_loader_selects_ema_or_raw_params(self, tmp_path):
+        """--use_ema picks EMA weights (default, reference model_util load_model
+        behavior) vs raw params (--use_ema false, for runs shorter than the
+        EMA horizon 1/(1-beta) where the EMA is still random-init-dominated)."""
+        import jax
+
+        from condmdi_tpu.sampling.synthesize import load_model_for_sampling
+        from condmdi_tpu.training.train import main
+        from condmdi_tpu.utils import checkpoint as ckpt
+        from condmdi_tpu.utils.config import GenerateArgs, parse_args
+
+        main([
+            "--config", "motion_abs_unet_adagn_xl",
+            "--save_dir", str(tmp_path / "run"),
+            "--num_steps", "4", "--save_interval", "4", "--log_interval", "2",
+            "--batch_size", "4", "--num_frames", "28", "--latent_dim", "16",
+            "--dim_mults", "1", "2", "--diffusion_steps", "8",
+            "--keyframe_conditioned", "true", "--use_fp16", "false",
+            "--avg_model_beta", "0.5", "--data_dir", "/nonexistent",
+        ])
+        ckpt_path = sorted((tmp_path / "run").glob("ckpt_*"))[-1]
+        restored = ckpt.load_checkpoint(str(ckpt_path))
+        want = {"true": restored["ema_params"], "false": restored["params"]}
+        # beta=0.5 over 4 steps: EMA and raw params must already differ
+        diffs = [
+            float(np.abs(np.asarray(a) - np.asarray(b)).max())
+            for a, b in zip(
+                jax.tree_util.tree_leaves(want["true"]),
+                jax.tree_util.tree_leaves(want["false"]),
+            )
+        ]
+        assert max(diffs) > 0
+
+        for flag, expect in want.items():
+            args = parse_args(
+                GenerateArgs, ["--model_path", str(ckpt_path), "--use_ema", flag]
+            )
+            _, params, _, _ = load_model_for_sampling(args)
+            got = params if "params" in expect else params["params"]
+            for a, b in zip(
+                jax.tree_util.tree_leaves(got), jax.tree_util.tree_leaves(expect)
+            ):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 class TestConvertersRoundTrip:
     def test_abs_rel_round_trip(self):
         import jax.numpy as jnp
