@@ -225,7 +225,36 @@ class SyntheticMotionDataset:
     behave like real data.
     """
 
+    # population normalization stats, memoized per feature layout: every
+    # instance shares them, exactly as every HumanML3D split shares the
+    # dataset-level Mean.npy/Std.npy — so a model trained on one instance
+    # normalizes test instances consistently
+    _POP_STATS: dict = {}
+    _STATS_SEED = 1_000_003  # disjoint from any instance seed in practice
+    _STATS_ITEMS = 64
+
     def __init__(self, cfg: DatasetConfig, size: int = 64, seed: int = 0):
+        self.cfg = cfg
+        T = min(cfg.max_motion_length + 1, 200)
+        feats = self._make_items(cfg, seed, size, T)
+        self.items = [
+            dict(motion=feats[i], caption=f"synthetic motion {seed}-{i}", tokens=[])
+            for i in range(size)
+        ]
+        self.stats = self._population_stats(cfg)
+
+    @staticmethod
+    def _make_items(cfg: DatasetConfig, seed: int, size: int, T: int) -> np.ndarray:
+        """(size, T-1, 263) motions from the shared procedural distribution.
+
+        Each item draws its OWN body scale and random walk from an
+        item-keyed rng, so datasets with different seeds are iid draws from
+        the same population (a seed-0-trained model generalizes to a seed-5
+        instance); a single per-instance body would make every seed its own
+        distribution. FK + codec run as ONE vmapped jit call per chunk —
+        per-item dispatch would dominate startup for training-size sets.
+        """
+        import jax
         import jax.numpy as jnp
 
         from condmdi_tpu.data.humanml_repr import extract_features
@@ -235,35 +264,63 @@ class SyntheticMotionDataset:
             Skeleton,
         )
 
-        self.cfg = cfg
-        rng = np.random.default_rng(seed)
         skel = Skeleton(T2M_RAW_OFFSETS, T2M_KINEMATIC_CHAIN)
-        offsets = (T2M_RAW_OFFSETS * rng.uniform(0.25, 0.45, size=(22, 1))).astype(
-            np.float32
-        )
-        self.items = []
-        T = min(cfg.max_motion_length + 1, 200)
+        qs, roots, offs = [], [], []
         for i in range(size):
+            rng = np.random.default_rng((seed, i))
+            offs.append(
+                (T2M_RAW_OFFSETS * rng.uniform(0.25, 0.45, size=(22, 1))).astype(
+                    np.float32
+                )
+            )
             base = rng.normal(size=(1, 22, 4))
             steps = rng.normal(size=(T, 22, 4)) * 0.03
             q = base + np.cumsum(steps, axis=0)
-            q = (q / np.linalg.norm(q, axis=-1, keepdims=True)).astype(np.float32)
+            qs.append((q / np.linalg.norm(q, axis=-1, keepdims=True)).astype(np.float32))
             root = np.cumsum(rng.normal(size=(T, 3)) * 0.01, axis=0).astype(np.float32)
             root[:, 1] += 0.9
-            joints = np.asarray(
-                skel.forward_kinematics(jnp.asarray(q), jnp.asarray(root), jnp.asarray(offsets))
+            roots.append(root)
+
+        @jax.jit
+        def batch_features(q, root, off):
+            off_t = jnp.broadcast_to(off[:, None], q.shape[:-1] + (3,))
+            joints = skel.forward_kinematics(q, root, off_t)
+            return jax.vmap(
+                lambda j: extract_features(j, 0.002, abs_3d=cfg.abs_3d)
+            )(joints)
+
+        out = []
+        for c in range(0, size, 256):
+            out.append(
+                np.asarray(
+                    batch_features(
+                        jnp.asarray(np.stack(qs[c : c + 256])),
+                        jnp.asarray(np.stack(roots[c : c + 256])),
+                        jnp.asarray(np.stack(offs[c : c + 256])),
+                    )
+                ).astype(np.float32)
             )
-            feats = np.asarray(
-                extract_features(jnp.asarray(joints), 0.002, abs_3d=cfg.abs_3d)
-            ).astype(np.float32)
-            self.items.append(
-                dict(motion=feats, caption=f"synthetic motion {i}", tokens=[])
-            )
-        all_feats = np.concatenate([it["motion"] for it in self.items], axis=0)
-        self.stats = NormStats(
-            all_feats.mean(axis=0).astype(np.float32),
-            (all_feats.std(axis=0) + 1e-6).astype(np.float32),
-        )
+        return np.concatenate(out, axis=0)
+
+    @classmethod
+    def _population_stats(cls, cfg: DatasetConfig) -> "NormStats":
+        key = "abs" if cfg.abs_3d else "rel"
+        if key not in cls._POP_STATS:
+            # shipped with the package (≙ the reference's dataset-level
+            # Mean.npy/Std.npy); regenerated on the fly if absent
+            path = Path(__file__).parent / f"synthetic_stats_{key}.npz"
+            if path.exists():
+                z = np.load(path)
+                cls._POP_STATS[key] = NormStats(z["mean"], z["std"])
+            else:
+                per_item = cls._make_items(cfg, cls._STATS_SEED, cls._STATS_ITEMS, 200)
+                feats = per_item.reshape(-1, per_item.shape[-1])
+                cls._POP_STATS[key] = NormStats(
+                    feats.mean(axis=0).astype(np.float32),
+                    (feats.std(axis=0) + 1e-6).astype(np.float32),
+                )
+                np.savez(path, mean=cls._POP_STATS[key].mean, std=cls._POP_STATS[key].std)
+        return cls._POP_STATS[key]
 
     def __len__(self):
         return len(self.items)
