@@ -303,6 +303,16 @@ def main(argv=None):
     seed_all(args.seed)
 
     save_dir = Path(args.save_dir or "save/condmdi_run")
+    # reference train_condmdi.py: an existing save_dir is an error unless
+    # --overwrite. Here an existing dir auto-resumes (TrainLoop discovers the
+    # latest checkpoint); --overwrite instead clears stale checkpoints so the
+    # run genuinely restarts (leaving them would both resume at their step
+    # AND let later samplers/evals pick up a model trained under old args)
+    if args.overwrite and save_dir.exists():
+        import shutil
+
+        for stale in sorted(save_dir.glob("ckpt_*")):
+            shutil.rmtree(stale, ignore_errors=True)
     save_dir.mkdir(parents=True, exist_ok=True)
     save_args_json(args, save_dir / "args.json")
 

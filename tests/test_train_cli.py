@@ -37,6 +37,12 @@ class TestTrainCLI:
         loop2 = main(argv)
         assert loop2.resume_step >= 3
 
+        # --overwrite clears stale checkpoints and restarts from scratch
+        # (reference train_condmdi.py treats an existing save_dir as an
+        # error unless overwrite; here overwrite suppresses auto-resume)
+        loop3 = main(argv + ["--overwrite", "true"])
+        assert loop3.resume_step == 0
+
 
 class TestUseEmaFlag:
     def test_loader_selects_ema_or_raw_params(self, tmp_path):
