@@ -278,6 +278,12 @@ class SyntheticMotionDataset:
             q = base + np.cumsum(steps, axis=0)
             qs.append((q / np.linalg.norm(q, axis=-1, keepdims=True)).astype(np.float32))
             root = np.cumsum(rng.normal(size=(T, 3)) * 0.01, axis=0).astype(np.float32)
+            # meters-scale locomotion: constant per-item xz drift (real
+            # HumanML3D motions travel; without it the population-mean pose
+            # is a near-optimal predictor and conditioning has nothing to say
+            # about where the body is)
+            drift = rng.uniform(-0.02, 0.02, size=2).astype(np.float32)
+            root[:, [0, 2]] += drift * np.arange(T, dtype=np.float32)[:, None]
             root[:, 1] += 0.9
             roots.append(root)
 
