@@ -110,9 +110,34 @@ class TestInt8KeyframeErrorGate:
         # the gate: int8 keyframe error within 5% of bf16 on a trained model
         assert delta < 0.05, (kf_f, kf_q, delta)
 
-        # and the sampled motions themselves stay close (no compounding)
-        rel = np.abs(s_q - s_f).mean() / (np.abs(s_f).mean() + 1e-9)
-        assert rel < 0.10, rel
+        # second quality axis: whole-sequence joint error vs GT must match
+        # too. (Raw sample-space closeness is NOT asserted: per-step int8
+        # perturbations compound chaotically through the sampler as the
+        # model sharpens, so int8 and bf16 runs are two draws from ~the same
+        # distribution rather than the same trajectory — per-step
+        # non-compounding on matched noise is covered by
+        # tests/test_quant.py::TestInt8WholeSampler.)
+        def joint_err(sample):
+            from condmdi_tpu.data.humanml_repr import recover_from_ric
+            import jax.numpy as jnp
+
+            cur = np.asarray(
+                recover_from_ric(jnp.asarray(ds.denormalize(sample)), 22, abs_3d=True)
+            )
+            gt = np.asarray(
+                recover_from_ric(
+                    jnp.asarray(ds.denormalize(np.asarray(batch["motion"]))), 22,
+                    abs_3d=True,
+                )
+            )
+            tm = np.asarray(batch["time_mask"])[:, :, None, None]
+            return float(
+                (np.linalg.norm(cur - gt, axis=-1, keepdims=True) * tm).sum()
+                / tm.sum()
+            )
+
+        je_f, je_q = joint_err(s_f), joint_err(s_q)
+        assert abs(je_q - je_f) / max(je_f, 1e-9) < 0.05, (je_f, je_q)
 
     def test_trained_model_beats_trivial_baseline(self, gate_setup):
         """Sanity that the gate checkpoint is a real conditional model.
