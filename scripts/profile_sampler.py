@@ -28,6 +28,8 @@ def main(argv=None):
     ap.add_argument("--out", default="/tmp/condmdi_trace")
     ap.add_argument("--dtype", choices=("bf16", "f32"), default="bf16",
                     help="bf16 matches bench.py's serving precision")
+    ap.add_argument("--precision_mode", choices=("float", "int8"), default="float",
+                    help="int8 profiles the quantized serving path (QConv)")
     args = ap.parse_args(argv)
 
     import jax
@@ -46,6 +48,7 @@ def main(argv=None):
     model = MDM_UNET(
         njoints=F, latent_dim=args.latent_dim, dim_mults=(2, 2, 2, 2),
         keyframe_conditioned=True, pad_frames_to=224,
+        precision_mode=args.precision_mode,
     )
     rng = np.random.default_rng(0)
     x = jnp.zeros((B, T, F))
