@@ -64,17 +64,39 @@ def build_bench_model(which: str, B: int):
         from condmdi_tpu.models.unet import MDM_UNET
 
         pad_to = int(os.environ.get("BENCH_PAD", "224"))  # 200 = tight pad
+        mode = {
+            "unet": "float",
+            "unet_int8": "int8",
+            "unet_int8_static": "int8_static",
+        }[which]
         model = MDM_UNET(
             njoints=F, latent_dim=512, dim_mults=(2, 2, 2, 2),
             keyframe_conditioned=True, pad_frames_to=pad_to,
-            precision_mode="int8" if which == "unet_int8" else "float",
+            precision_mode=mode,
         )
         obs_x0 = jnp.asarray(rng.standard_normal((B, T, F)).astype(np.float32) * 0.1)
         obs_mask = jnp.zeros((B, T, F), bool).at[:, ::10, :].set(True)
         params = model.init(jax.random.key(0), x, t0, y, obs_x0=obs_x0, obs_mask=obs_mask)
-        label = "CondMDI UNet-XL keyframe-conditioned" + (
-            " int8 serving path (bf16-parity gated)" if which == "unet_int8" else " bf16"
-        )
+        if mode == "int8_static":
+            # calibrate activation scales over the noise range the sampler
+            # traverses: x_t goes from ~N(0,1) at t=999 to data scale at t=0
+            kw = dict(obs_x0=obs_x0, obs_mask=obs_mask)
+            variables = dict(params)
+            for tv in (999, 750, 500, 250, 0):
+                x_t = jnp.asarray(
+                    rng.standard_normal((B, T, F)).astype(np.float32)
+                )
+                _, upd = model.apply(
+                    variables, x_t, jnp.full((B,), tv, jnp.int32), y, **kw,
+                    mutable=["act_scale"],
+                )
+                variables = {"params": variables["params"], "act_scale": upd["act_scale"]}
+            params = variables
+        label = "CondMDI UNet-XL keyframe-conditioned" + {
+            "int8": " int8 serving path (bf16-parity gated)",
+            "int8_static": " int8 static-scale serving path (experimental)",
+            "float": " bf16",
+        }[mode]
     return model, params, y, obs_x0, obs_mask, label
 
 
@@ -102,15 +124,16 @@ def verify_trajectory(which: str, B: int = 2, n_steps: int = 20) -> np.ndarray:
     model, params, y, obs_x0, obs_mask, _ = build_bench_model(which, B)
     # the UNet's output projections are zero-initialized (unet_zero), so a
     # fresh init denoises to exactly 0 — perturb every param deterministically
-    # so the checksum actually exercises the whole network
-    leaves, treedef = jax.tree_util.tree_flatten(params)
+    # so the checksum actually exercises the whole network (weights only:
+    # calibrated act_scale amaxes must not be perturbed)
+    weights, treedef = jax.tree_util.tree_flatten(params["params"])
     prng = np.random.default_rng(11)
-    leaves = [
+    weights = [
         l + jnp.asarray(0.02 * prng.standard_normal(l.shape).astype(np.float32))
         if jnp.issubdtype(l.dtype, jnp.floating) else l
-        for l in leaves
+        for l in weights
     ]
-    params = jax.tree_util.tree_unflatten(treedef, leaves)
+    params = {**params, "params": jax.tree_util.tree_unflatten(treedef, weights)}
     sched = DiffusionSchedule.create(
         get_named_beta_schedule("cosine", 1000),
         use_timesteps=range(0, 1000, 1000 // n_steps),
@@ -144,7 +167,7 @@ def check_against_golden(which: str, slice_: np.ndarray, atol: float):
     criterion instead of max-abs.
     """
     int8 = "int8" in which
-    path = GOLDEN_PATH.format(which=which.replace("_int8", "") if int8 else which)
+    path = GOLDEN_PATH.format(which=which.split("_int8")[0] if int8 else which)
     if not os.path.exists(path):
         return None, None
     with open(path) as f:
@@ -184,9 +207,14 @@ def main() -> None:
     model, params, y, obs_x0, obs_mask, label = build_bench_model(which, B)
 
     # bf16 params + activations: TPU-native precision for inference
-    params = jax.tree_util.tree_map(
-        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, params
-    )
+    # (weights only — calibrated act_scale amaxes stay f32)
+    params = {
+        **params,
+        "params": jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+            params["params"],
+        ),
+    }
 
     sched = DiffusionSchedule.create(get_named_beta_schedule("cosine", STEPS))
     dcfg = DiffusionConfig()

@@ -65,6 +65,29 @@ class QConv(nn.Module):
             return quant_conv1d_from_f32(
                 x, kernel, bias, stride=self.stride, padding=self.padding
             ).astype(x.dtype)
+        if self.precision_mode == "int8_static":
+            # static activation scales: the dynamic per-tensor abs-max pass
+            # is ~21% of int8 step time (BENCH_NOTES round 2). Calibrate by
+            # applying with mutable=["act_scale"] on representative inputs
+            # (running max; dynamic quant is used during those passes), then
+            # serve with the collection frozen — zero per-step reduces.
+            from condmdi_tpu.ops.quant import quant_conv1d_from_f32
+
+            amax = self.variable(
+                "act_scale", "amax", lambda: jnp.zeros((), jnp.float32)
+            )
+            if self.is_mutable_collection("act_scale"):
+                amax.value = jnp.maximum(
+                    amax.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
+                )
+                return quant_conv1d_from_f32(
+                    x, kernel, bias, stride=self.stride, padding=self.padding
+                ).astype(x.dtype)
+            a_scale = jnp.maximum(amax.value, 1e-8) / 127.0
+            return quant_conv1d_from_f32(
+                x, kernel, bias, stride=self.stride, padding=self.padding,
+                a_scale=a_scale,
+            ).astype(x.dtype)
         out = jax.lax.conv_general_dilated(
             x,
             kernel.astype(x.dtype),

@@ -47,9 +47,19 @@ def int8_conv1d(
     bias: Array | None = None,
     stride: int = 1,
     padding: int = 0,
+    a_scale: Array | None = None,
 ) -> Array:
-    """Quantized conv: int8×int8→int32 on the MXU, dequant epilogue."""
-    xq, a_scale = quantize_activation(x)
+    """Quantized conv: int8×int8→int32 on the MXU, dequant epilogue.
+
+    a_scale: optional STATIC activation scale (from calibration). Skips the
+    dynamic per-tensor abs-max pass — profiled at ~21% of int8 step time
+    (BENCH_NOTES round 2) — at the cost of clipping activations that exceed
+    the calibrated range.
+    """
+    if a_scale is not None:
+        xq = jnp.clip(jnp.round(x / a_scale), -127, 127).astype(jnp.int8)
+    else:
+        xq, a_scale = quantize_activation(x)
     out = jax.lax.conv_general_dilated(
         xq,
         wq,
@@ -78,13 +88,16 @@ def quant_conv1d_from_f32(
     bias: Array | None = None,
     stride: int = 1,
     padding: int = 0,
+    a_scale: Array | None = None,
 ) -> Array:
     """int8 conv taking the ORIGINAL f32/bf16 kernel: weights are quantized
     per-channel in-graph (cheap vs the conv; lets the same parameter tree
-    serve both precision modes) and activations dynamically per-tensor."""
+    serve both precision modes) and activations dynamically per-tensor —
+    or statically when a calibrated `a_scale` is supplied."""
     wq, w_scale = quantize_weight_per_channel(kernel.astype(jnp.float32))
     return int8_conv1d(
-        x.astype(jnp.float32), wq, w_scale, bias=bias, stride=stride, padding=padding
+        x.astype(jnp.float32), wq, w_scale, bias=bias, stride=stride,
+        padding=padding, a_scale=a_scale,
     )
 
 

@@ -148,3 +148,97 @@ class TestInt8MDM:
         out_q = np.asarray(m_q.apply(params, x, t, y))
         rel = np.abs(out_q - out_f).mean() / (np.abs(out_f).mean() + 1e-8)
         assert rel < 0.1, rel
+
+
+class TestInt8StaticScales:
+    """Static-activation-scale serving path: calibrate via a mutable
+    `act_scale` collection, then serve with zero per-step abs-max reduces
+    (the dynamic passes profiled at ~21% of int8 step time — BENCH_NOTES)."""
+
+    def _build(self, mode):
+        from condmdi_tpu.models.unet import MDM_UNET
+
+        return MDM_UNET(
+            njoints=263, latent_dim=32, dim_mults=(1, 2),
+            keyframe_conditioned=True, pad_frames_to=32, precision_mode=mode,
+        )
+
+    def test_static_matches_dynamic_on_calibration_inputs(self):
+        B, T, F = 2, 28, 263
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((B, T, F)).astype(np.float32))
+        t = jnp.full((B,), 500, jnp.int32)
+        y = {"text_embed": jnp.asarray(rng.standard_normal((B, 512)).astype(np.float32))}
+        kw = dict(
+            obs_x0=jnp.asarray(rng.standard_normal((B, T, F)).astype(np.float32) * 0.1),
+            obs_mask=jnp.zeros((B, T, F), bool).at[:, ::7, :].set(True),
+        )
+
+        mf = self._build("float")
+        variables = mf.init(jax.random.key(0), x, t, y, **kw)
+        # perturb so zero-init heads produce signal
+        leaves, td = jax.tree_util.tree_flatten(variables["params"])
+        prng = np.random.default_rng(1)
+        leaves = [
+            l + jnp.asarray(0.05 * prng.standard_normal(l.shape).astype(np.float32))
+            for l in leaves
+        ]
+        params = {"params": jax.tree_util.tree_unflatten(td, leaves)}
+
+        out_dyn = self._build("int8").apply(params, x, t, y, **kw)
+
+        ms = self._build("int8_static")
+        vs = ms.init(jax.random.key(0), x, t, y, **kw)
+        variables = {"params": params["params"], "act_scale": vs["act_scale"]}
+        # calibration = mutable pass on the same input
+        _, upd = ms.apply(variables, x, t, y, **kw, mutable=["act_scale"])
+        variables = {"params": params["params"], "act_scale": upd["act_scale"]}
+        out_static = ms.apply(variables, x, t, y, **kw)
+
+        # same abs-max scales — but the dynamic path computes them as traced
+        # in-graph reduces whose association order differs from the
+        # calibration program's, so ulp-level scale differences flip
+        # round-to-nearest at quantization boundaries. Assert closeness at
+        # the quant-step scale, not bit equality.
+        d = np.abs(np.asarray(out_static) - np.asarray(out_dyn))
+        rel = d.mean() / (np.abs(np.asarray(out_dyn)).mean() + 1e-9)
+        assert rel < 0.05, rel
+        # every QConv site calibrated to a nonzero amax
+        amaxes = jax.tree_util.tree_leaves(upd["act_scale"])
+        assert all(float(a) > 0 for a in amaxes) and len(amaxes) > 0
+
+    def test_static_stays_close_off_calibration(self):
+        """On inputs ~half the calibrated range, static quantization loses a
+        little resolution but must stay close to the float output."""
+        B, T, F = 2, 28, 263
+        rng = np.random.default_rng(2)
+        x_cal = jnp.asarray(rng.standard_normal((B, T, F)).astype(np.float32))
+        x_serve = x_cal * 0.5
+        t = jnp.full((B,), 100, jnp.int32)
+        y = {"text_embed": jnp.asarray(rng.standard_normal((B, 512)).astype(np.float32))}
+        kw = dict(
+            obs_x0=jnp.asarray(rng.standard_normal((B, T, F)).astype(np.float32) * 0.1),
+            obs_mask=jnp.zeros((B, T, F), bool).at[:, ::7, :].set(True),
+        )
+        mf = self._build("float")
+        variables = mf.init(jax.random.key(0), x_cal, t, y, **kw)
+        leaves, td = jax.tree_util.tree_flatten(variables["params"])
+        prng = np.random.default_rng(3)
+        leaves = [
+            l + jnp.asarray(0.05 * prng.standard_normal(l.shape).astype(np.float32))
+            for l in leaves
+        ]
+        params = {"params": jax.tree_util.tree_unflatten(td, leaves)}
+        out_f = mf.apply(params, x_serve, t, y, **kw)
+
+        ms = self._build("int8_static")
+        vs = ms.init(jax.random.key(0), x_cal, t, y, **kw)
+        variables = {"params": params["params"], "act_scale": vs["act_scale"]}
+        _, upd = ms.apply(variables, x_cal, t, y, **kw, mutable=["act_scale"])
+        variables = {"params": params["params"], "act_scale": upd["act_scale"]}
+        out_s = ms.apply(variables, x_serve, t, y, **kw)
+
+        rel = float(
+            jnp.abs(out_s - out_f).mean() / (jnp.abs(out_f).mean() + 1e-9)
+        )
+        assert rel < 0.15, rel
