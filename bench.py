@@ -3,16 +3,20 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Default model (the headline): CondMDI's keyframe-conditioned UNet-XL — the
-paper's flagship conditional model on its own benchmark task — in the int8
-serving path (same checkpoint; QConv quantizes in-graph). Measured ≈7.2
-samples/s/chip ≈ 26× baseline. The int8 path is quality-gated against bf16:
+paper's flagship conditional model on its own benchmark task — in the
+STATIC-SCALE int8 serving path (same checkpoint; QConv quantizes weights
+in-graph, activation scales calibrated once into an `act_scale` collection
+so the step graph has zero quantization reduces). Measured ≈8.0
+samples/s/chip ≈ 29× baseline. The int8 paths are quality-gated vs bf16:
   (1) whole-sampler DDIM trajectory closeness int8-vs-bf16
-      (tests/test_quant.py::TestInt8WholeSampler), and
-  (2) keyframe-error delta vs bf16 on a synthetic-trained conditional
-      checkpoint (tests/test_int8_gate.py; numbers in BENCH_NOTES.md).
-`BENCH_MODEL` overrides: `unet` = the same model in bf16 (≈4.8 ≈ 17×),
-`mdm` = the MDM transformer encoder north-star config (Pallas fused
-attention, ≈7.5 ≈ 27×), `mdm_int8`. `BENCH_BATCH` overrides batch (64).
+      (tests/test_quant.py::TestInt8WholeSampler, TestInt8StaticScales), and
+  (2) keyframe-error delta vs bf16 on the committed synthetic-trained
+      conditional checkpoint, for BOTH dynamic and static scales
+      (tests/test_int8_gate.py; numbers in BENCH_NOTES.md).
+`BENCH_MODEL` overrides: `unet_int8` = dynamic-scale int8 (≈7.2 ≈ 26×),
+`unet` = bf16 (≈4.8 ≈ 17×), `mdm` = the MDM transformer encoder north-star
+config (Pallas fused attention, ≈7.5 ≈ 27×), `mdm_int8`. `BENCH_BATCH`
+overrides batch (64).
 
 Baseline derivation: the reference's paper eval (eval_humanml_condmdi wo_mm:
 1000 samples × 20 replications of 196-frame 1000-step DDPM sampling) takes
@@ -94,7 +98,7 @@ def build_bench_model(which: str, B: int):
             params = variables
         label = "CondMDI UNet-XL keyframe-conditioned" + {
             "int8": " int8 serving path (bf16-parity gated)",
-            "int8_static": " int8 static-scale serving path (experimental)",
+            "int8_static": " int8 static-scale serving path (bf16-parity gated)",
             "float": " bf16",
         }[mode]
     return model, params, y, obs_x0, obs_mask, label
@@ -134,6 +138,21 @@ def verify_trajectory(which: str, B: int = 2, n_steps: int = 20) -> np.ndarray:
         for l in weights
     ]
     params = {**params, "params": jax.tree_util.tree_unflatten(treedef, weights)}
+    if "act_scale" in params:
+        # perturbed weights shift activation magnitudes — recalibrate the
+        # static scales or deep layers clip against the stale ranges
+        kw = dict(obs_x0=obs_x0, obs_mask=obs_mask) if obs_x0 is not None else {}
+        variables = {"params": params["params"]}
+        for i in range(3):
+            x_cal = jnp.asarray(
+                np.random.default_rng(50 + i).standard_normal((B, T, F)).astype(np.float32)
+            ) * (1.0 - 0.4 * i)
+            _, upd = model.apply(
+                variables, x_cal, jnp.zeros((B,), jnp.int32) + i * 400, y, **kw,
+                mutable=["act_scale"],
+            )
+            variables = {"params": params["params"], "act_scale": upd["act_scale"]}
+        params = variables
     sched = DiffusionSchedule.create(
         get_named_beta_schedule("cosine", 1000),
         use_timesteps=range(0, 1000, 1000 // n_steps),
@@ -201,7 +220,7 @@ def main() -> None:
     from condmdi_tpu.diffusion.sampling import SamplerConfig, ddpm_sample_loop
 
     B = int(os.environ.get("BENCH_BATCH", "64"))
-    which = os.environ.get("BENCH_MODEL", "unet_int8")
+    which = os.environ.get("BENCH_MODEL", "unet_int8_static")
     STEPS = 1000
 
     model, params, y, obs_x0, obs_mask, label = build_bench_model(which, B)

@@ -64,6 +64,31 @@ def _sample(args, batch, B, T, precision_mode, drop_obs=False):
     args._cli_overridden = {"precision_mode", "timestep_respacing", "use_ddim"}
     model, params, sched, dcfg = load_model_for_sampling(args)
 
+    if precision_mode == "int8_static":
+        # calibrate activation scales over the x_t range the sampler
+        # traverses (q_sample of the GT batch at spread-out t)
+        from condmdi_tpu.diffusion.gaussian import q_sample
+
+        x0_cal = jnp.asarray(batch["motion"])
+        y_cal = {"text_embed": jnp.asarray(batch["text_embed"])}
+        kw_cal = dict(
+            obs_x0=x0_cal, obs_mask=jnp.ones(x0_cal.shape, bool)
+        )
+        variables = {"params": params["params"]}
+        n_sched = sched.num_timesteps
+        for i, frac in enumerate((0.999, 0.75, 0.5, 0.25, 0.0)):
+            it = jnp.full((B,), int(frac * (n_sched - 1)), jnp.int32)
+            x_t = q_sample(
+                sched, x0_cal, it,
+                jax.random.normal(jax.random.key(100 + i), x0_cal.shape),
+            )
+            _, upd = model.apply(
+                variables, x_t, sched.model_t(it), y_cal, **kw_cal,
+                mutable=["act_scale"],
+            )
+            variables = {"params": params["params"], "act_scale": upd["act_scale"]}
+        params = variables
+
     def apply_fn(x, t, y, **kw):
         return model.apply(params, x, t, y, **kw)
 
@@ -138,6 +163,21 @@ class TestInt8KeyframeErrorGate:
 
         je_f, je_q = joint_err(s_f), joint_err(s_q)
         assert abs(je_q - je_f) / max(je_f, 1e-9) < 0.05, (je_f, je_q)
+
+    def test_static_scale_keyframe_error_delta_small(self, gate_setup):
+        """Same quality gate for the static-activation-scale int8 path
+        (scales calibrated on q_sample of the GT batch across the t range).
+        Passing this is the promotion criterion for `int8_static` becoming
+        the bench headline."""
+        args, ds, batch, B, T = gate_setup
+        s_f, m_f = _sample(args, batch, B, T, "float")
+        s_s, m_s = _sample(args, batch, B, T, "int8_static")
+        np.testing.assert_array_equal(m_f, m_s)
+
+        kf_f = _keyframe_error(s_f, batch, m_f, ds)
+        kf_s = _keyframe_error(s_s, batch, m_s, ds)
+        delta = abs(kf_s - kf_f) / max(kf_f, 1e-9)
+        assert delta < 0.05, (kf_f, kf_s, delta)
 
     def test_trained_model_beats_trivial_baseline(self, gate_setup):
         """Sanity that the gate checkpoint is a real conditional model.
