@@ -30,6 +30,10 @@ def main(argv=None):
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model + few steps: CPU smoke of the measurement "
                          "paths, not a real latency number")
+    ap.add_argument("--precision_mode", choices=("float", "int8", "int8_static"),
+                    default="float",
+                    help="unet only: int8 serving paths (B=1 is weight-"
+                         "bandwidth-bound, int8 halves weight traffic)")
     args = ap.parse_args(argv)
 
     import jax
@@ -53,6 +57,7 @@ def main(argv=None):
             dim_mults=(1, 2) if args.tiny else (2, 2, 2, 2),
             keyframe_conditioned=True,
             pad_frames_to=32 if args.tiny else 224,
+            precision_mode=args.precision_mode,
         )
         kw = dict(
             obs_x0=jnp.zeros((B, T, F), jnp.bfloat16),
