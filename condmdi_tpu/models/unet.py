@@ -54,6 +54,39 @@ class QConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        if self.precision_mode == "int8_prequant":
+            # serving-only mode: weights live PRE-QUANTIZED in HBM as int8
+            # (+ per-channel scale), halving weight traffic vs bf16 — the
+            # B=1 latency lever (BENCH_NOTES round 2: in-graph quantization
+            # re-reads f32 weights every step and is a net loss at B=1).
+            # Param tree layout matches ops/quant.py quantize_params_tree.
+            from condmdi_tpu.ops.quant import int8_conv1d
+
+            kq = self.param(
+                "kernel_q",
+                lambda key, shape: jnp.zeros(shape, jnp.int8),
+                (self.kernel_size, x.shape[-1], self.features),
+            )
+            w_scale = self.param(
+                "scale", nn.initializers.ones, (self.features,)
+            )
+            bias_q = self.param("bias", nn.initializers.zeros, (self.features,))
+            amax = self.variable(
+                "act_scale", "amax", lambda: jnp.zeros((), jnp.float32)
+            )
+            if self.is_mutable_collection("act_scale"):
+                amax.value = jnp.maximum(
+                    amax.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
+                )
+                return int8_conv1d(
+                    x.astype(jnp.float32), kq, w_scale, bias_q,
+                    stride=self.stride, padding=self.padding,
+                ).astype(x.dtype)
+            a_scale = jnp.maximum(amax.value, 1e-8) / 127.0
+            return int8_conv1d(
+                x.astype(jnp.float32), kq, w_scale, bias_q,
+                stride=self.stride, padding=self.padding, a_scale=a_scale,
+            ).astype(x.dtype)
         init = nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
         kernel = self.param(
             "kernel", init, (self.kernel_size, x.shape[-1], self.features)

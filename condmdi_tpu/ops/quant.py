@@ -102,18 +102,27 @@ def quant_conv1d_from_f32(
 
 
 def quantize_params_tree(params: Any) -> Any:
-    """Replace every {'kernel': [k,in,out], 'bias'} conv leaf with
-    {'kernel_q', 'scale', 'bias'} (Dense kernels [in,out] are kept f32)."""
+    """Replace every QConv {'kernel': [k,in,out], 'bias'} leaf with
+    {'kernel_q', 'scale', 'bias'} — the layout `QConv(precision_mode=
+    'int8_prequant')` reads (int8 weights resident in HBM; half the weight
+    traffic of bf16 for B=1 serving). Dense kernels [in,out] are kept f32.
+    ConvTranspose 'up*_upsample' kernels are rank-3 too but are NOT QConvs
+    and are excluded by name (the stride-2 'down*_downsample' convs ARE
+    QConvs and are quantized)."""
 
-    def walk(node):
+    def walk(node, name=""):
         if isinstance(node, dict):
-            if "kernel" in node and getattr(node["kernel"], "ndim", 0) == 3:
+            if (
+                "kernel" in node
+                and getattr(node["kernel"], "ndim", 0) == 3
+                and "upsample" not in name
+            ):
                 wq, s = quantize_weight_per_channel(jnp.asarray(node["kernel"]))
                 out = {"kernel_q": wq, "scale": s}
                 if "bias" in node:
                     out["bias"] = node["bias"]
                 return out
-            return {k: walk(v) for k, v in node.items()}
+            return {k: walk(v, k) for k, v in node.items()}
         return node
 
     return walk(params)

@@ -30,7 +30,8 @@ def main(argv=None):
     ap.add_argument("--tiny", action="store_true",
                     help="tiny model + few steps: CPU smoke of the measurement "
                          "paths, not a real latency number")
-    ap.add_argument("--precision_mode", choices=("float", "int8", "int8_static"),
+    ap.add_argument("--precision_mode",
+                    choices=("float", "int8", "int8_static", "int8_prequant"),
                     default="float",
                     help="unet only: int8 serving paths (B=1 is weight-"
                          "bandwidth-bound, int8 halves weight traffic)")
@@ -74,7 +75,25 @@ def main(argv=None):
 
     y = {"text_embed": jnp.zeros((B, 512), jnp.bfloat16)}
     x0 = jnp.zeros((B, T, F))
-    params = model.init(jax.random.key(0), x0, jnp.zeros((B,), jnp.int32), y, **kw)
+    if args.model == "unet" and args.precision_mode == "int8_prequant":
+        # init the float twin, pre-quantize its weights, serve int8-resident
+        from condmdi_tpu.models.unet import MDM_UNET as _U
+        from condmdi_tpu.ops.quant import quantize_params_tree
+
+        float_twin = _U(
+            njoints=F, latent_dim=16 if args.tiny else 512,
+            dim_mults=(1, 2) if args.tiny else (2, 2, 2, 2),
+            keyframe_conditioned=True, pad_frames_to=32 if args.tiny else 224,
+        )
+        fv = float_twin.init(jax.random.key(0), x0, jnp.zeros((B,), jnp.int32), y, **kw)
+        qtree = quantize_params_tree(fv["params"])
+        _, upd = model.apply(
+            {"params": qtree}, x0, jnp.zeros((B,), jnp.int32), y, **kw,
+            mutable=["act_scale"],
+        )
+        params = {"params": qtree, "act_scale": upd["act_scale"]}
+    else:
+        params = model.init(jax.random.key(0), x0, jnp.zeros((B,), jnp.int32), y, **kw)
     params = jax.tree_util.tree_map(
         lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, params
     )

@@ -242,3 +242,62 @@ class TestInt8StaticScales:
             jnp.abs(out_s - out_f).mean() / (jnp.abs(out_f).mean() + 1e-9)
         )
         assert rel < 0.15, rel
+
+
+class TestInt8Prequant:
+    """Pre-quantized weight serving: int8 weights resident in the param
+    tree (quantize_params_tree layout), read directly by
+    QConv(precision_mode='int8_prequant') — half the weight traffic of
+    bf16 for bandwidth-bound B=1 serving."""
+
+    def test_prequant_matches_dynamic_int8(self):
+        from condmdi_tpu.models.unet import MDM_UNET
+        from condmdi_tpu.ops.quant import quantize_params_tree
+
+        B, T, F = 2, 28, 263
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((B, T, F)).astype(np.float32))
+        t = jnp.full((B,), 300, jnp.int32)
+        y = {"text_embed": jnp.asarray(rng.standard_normal((B, 512)).astype(np.float32))}
+        kw = dict(
+            obs_x0=jnp.asarray(rng.standard_normal((B, T, F)).astype(np.float32) * 0.1),
+            obs_mask=jnp.zeros((B, T, F), bool).at[:, ::7, :].set(True),
+        )
+
+        def build(mode):
+            return MDM_UNET(
+                njoints=F, latent_dim=32, dim_mults=(1, 2),
+                keyframe_conditioned=True, pad_frames_to=32, precision_mode=mode,
+            )
+
+        variables = build("float").init(jax.random.key(0), x, t, y, **kw)
+        leaves, td = jax.tree_util.tree_flatten(variables["params"])
+        prng = np.random.default_rng(1)
+        leaves = [
+            l + jnp.asarray(0.05 * prng.standard_normal(l.shape).astype(np.float32))
+            for l in leaves
+        ]
+        fparams = jax.tree_util.tree_unflatten(td, leaves)
+        out_dyn = build("int8").apply({"params": fparams}, x, t, y, **kw)
+
+        qtree = quantize_params_tree(fparams)
+        mp = build("int8_prequant")
+        _, upd = mp.apply({"params": qtree}, x, t, y, **kw, mutable=["act_scale"])
+        out_pq = mp.apply({"params": qtree, "act_scale": upd["act_scale"]}, x, t, y, **kw)
+
+        # same int8 weights + same activation scales -> same outputs up to
+        # reduce-ordering boundary flips (see TestInt8StaticScales)
+        rel = float(
+            jnp.abs(out_pq - out_dyn).mean() / (jnp.abs(out_dyn).mean() + 1e-9)
+        )
+        assert rel < 0.05, rel
+
+        # the point of the exercise: the quantized tree is much smaller
+        fb = sum(l.size * l.dtype.itemsize for l in jax.tree_util.tree_leaves(fparams))
+        qb = sum(l.size * l.dtype.itemsize for l in jax.tree_util.tree_leaves(qtree))
+        assert qb < 0.45 * fb, (fb, qb)
+
+        # ConvTranspose upsample kernels stayed float ('kernel', not 'kernel_q')
+        flat = jax.tree_util.tree_flatten_with_path(qtree)[0]
+        ups = [p for p, _ in flat if any("upsample" in str(k) for k in p)]
+        assert ups and all("kernel_q" not in str(p) for p in ups)
