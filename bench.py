@@ -279,7 +279,8 @@ def main() -> None:
                 print(f"[bench verify] no golden for {which}; skipped", file=sys.stderr)
             else:
                 verified = ok
-                print(f"[bench verify] {which}: max_abs_err={err:.2e} vs CPU "
+                err_label = "mean_rel_err" if "int8" in which else "max_abs_err"
+                print(f"[bench verify] {which}: {err_label}={err:.2e} vs CPU "
                       f"golden -> {'OK' if ok else 'MISMATCH'}", file=sys.stderr)
                 if not ok and verify_mode == "strict":
                     raise SystemExit("bench verify failed (strict mode)")

@@ -10,8 +10,12 @@ int8 is the next rung past bf16. This module provides:
     fused dequant epilogue,
   * `quantize_params_tree` — one-shot conversion of a conv params tree.
 
-Not yet wired into the flagship bench: quality (FID parity) must be
-demonstrated before the headline number switches to int8.
+Status: int8 with calibrated static activation scales
+(`precision_mode='int8_static'`) IS the flagship bench headline
+(BENCH_MODEL=unet_int8_static, promoted round 2 after the trained-checkpoint
+quality gate in tests/test_int8_gate.py passed); `int8_prequant` (weights
+stored pre-quantized) is the B=1 serving path. Dynamic int8 remains
+available as a calibration-free fallback.
 """
 
 from __future__ import annotations

@@ -65,6 +65,21 @@ def load_model_for_sampling(args):
             # exceeds the trained steps, where the EMA is still dominated
             # by the random init
             use_ema = getattr(args, "use_ema", True)
+            if use_ema and restored.get("ema_params") is not None:
+                # EMA-horizon guard (round-2 trap, BENCH_NOTES.md: beta
+                # 0.9999 left a 4k-step EMA ~67% random init): warn when
+                # the trained steps can't have converged the average
+                step = int(np.ravel(np.asarray(restored.get("step", 0)))[0]) if restored.get("step") is not None else 0
+                beta = float(getattr(args, "avg_model_beta", 0.9999))
+                horizon = 3.0 / max(1.0 - beta, 1e-12)
+                if step and step < horizon:
+                    print(
+                        f"WARNING: EMA-preferred load of a {step}-step checkpoint "
+                        f"with avg_model_beta={beta} (convergence horizon ≈ "
+                        f"{horizon:.0f} steps) — the EMA is still dominated by "
+                        "the random init; pass --use_ema false or retrain with "
+                        "beta matched to the budget"
+                    )
             loaded = (restored.get("ema_params") if use_ema else None) or restored.get("params")
             # training saves the FULL flax variables dict ({'params': ...},
             # training/train.py:168) — don't wrap it twice

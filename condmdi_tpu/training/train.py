@@ -94,7 +94,13 @@ class TrainLoop:
         sidesteps unbounded host-RSS growth observed in the remote-TPU
         relay, which retains a host copy of every transferred buffer.
         HumanML3D's 263-d features (~4.7 GB) fit v5e HBM; gate with
-        --device_data_cache true. 'auto' caps at 1 GiB.
+        --device_data_cache true. 'auto' caps at 1 GiB AND skips datasets
+        whose __getitem__ draws randomness (crop starts, caption choice,
+        augmentation) — caching would freeze those draws for the whole run,
+        silently diverging from the reference's per-epoch re-sampling. When
+        forced with 'true', the cached shard is RE-COLLATED every
+        --device_cache_refresh steps (default 1000) so the random transforms
+        keep re-sampling at epoch-ish cadence.
         """
         import jax
 
@@ -105,6 +111,14 @@ class TrainLoop:
             return None
         loader = self.data_loader
         ds = loader.dataset
+        random_items = bool(getattr(ds, "has_random_item_transforms", True))
+        if mode == "auto" and random_items:
+            print(
+                "device data cache skipped (dataset re-samples crops/captions/"
+                "augmentations per access; caching would freeze them — pass "
+                "--device_data_cache true to force with periodic re-collation)"
+            )
+            return None
         # each process caches only ITS shard (same partition the streaming
         # DataLoader uses), so multi-host runs keep disjoint data
         my_idx = list(range(len(ds)))[loader.process_index :: loader.process_count]
@@ -129,26 +143,54 @@ class TrainLoop:
                     " > 1 GiB auto cap; pass --device_data_cache true to force)"
                 )
                 return None
-            full = collate(
-                [ds[i] for i in my_idx], loader.max_motion_length,
-                loader.text_encoder,
-            )
         except Exception as e:
             print(f"device data cache disabled (collate failed: {e})")
             return None
-        full.pop("text", None)
-        full.pop("tokens", None)
+        self._cache_idx = my_idx
+        full = self._collate_shard()
+        if full is None:
+            return None
+        if random_items:
+            refresh = int(getattr(self.args, "device_cache_refresh", 1000) or 0)
+            print(
+                "device data cache WARNING: item transforms (crops/captions/"
+                "augmentations) are frozen between refreshes; re-collating "
+                + (f"every {refresh} steps" if refresh > 0 else
+                   "NEVER (--device_cache_refresh 0)")
+            )
         nbytes = sum(
             a.nbytes for a in jax.tree_util.tree_leaves(full)
             if hasattr(a, "nbytes")
         )
-        full = jax.tree_util.tree_map(jax.device_put, full)
         print(
             f"device data cache: {n} clips (process {loader.process_index}/"
             f"{loader.process_count}), {nbytes / 2**20:.1f} MiB in HBM; "
             "per-step transfer = index vector only"
         )
         return full, n
+
+    def _collate_shard(self):
+        """(Re-)collate this process's shard and place it in device HBM.
+
+        Called at startup and every --device_cache_refresh steps so the
+        per-access random transforms re-sample (ADVICE r2: a one-shot cache
+        froze them for the whole run)."""
+        import jax
+
+        from condmdi_tpu.data.dataset import collate
+
+        loader = self.data_loader
+        try:
+            full = collate(
+                [loader.dataset[i] for i in self._cache_idx],
+                loader.max_motion_length, loader.text_encoder,
+            )
+        except Exception as e:
+            print(f"device data cache disabled (collate failed: {e})")
+            return None
+        full.pop("text", None)
+        full.pop("tokens", None)
+        return jax.tree_util.tree_map(jax.device_put, full)
 
     def _batches(self):
         """Endless stream of mesh-sharded device batches (either gathered
@@ -162,6 +204,11 @@ class TrainLoop:
         if self.device_data is not None:
             data, n = self.device_data
             B = self.args.batch_size
+            refresh = (
+                int(getattr(self.args, "device_cache_refresh", 1000) or 0)
+                if getattr(self.data_loader.dataset, "has_random_item_transforms", True)
+                else 0
+            )
             # distinct stream per process so multi-host runs draw disjoint
             # (per-shard) AND differently-ordered batches
             rng = np.random.default_rng(
@@ -170,8 +217,14 @@ class TrainLoop:
             gather = jax.jit(
                 lambda d, i: jax.tree_util.tree_map(lambda a: a[i], d)
             )
+            served = 0
             while True:
+                if refresh and served and served % refresh == 0:
+                    fresh = self._collate_shard()
+                    if fresh is not None:
+                        data = fresh
                 idx = rng.choice(n, size=B, replace=n < B)
+                served += 1
                 yield shard_batch(self.mesh, gather(data, jnp.asarray(idx)))
         else:
             while True:

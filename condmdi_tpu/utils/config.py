@@ -111,7 +111,11 @@ class TrainingOptions:
     # (<1 GiB) and gathers batches on-device — per-step host→device traffic
     # drops from the full batch (~13 MB) to a [B] index vector. HumanML3D's
     # 263-d features fit comfortably; 'false' streams from the host loader.
+    # 'auto' refuses datasets whose items re-sample randomness per access
+    # (crops/captions/augmentations) — force with 'true', which re-collates
+    # the cached shard every device_cache_refresh steps.
     device_data_cache: str = "auto"  # auto | true | false
+    device_cache_refresh: int = 1000  # steps between cache re-collations (0 = never)
     apply_zero_mask: bool = False
     traj_extra_weight: float = 1.0
     time_weighted_loss: bool = False

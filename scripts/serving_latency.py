@@ -94,9 +94,16 @@ def main(argv=None):
         params = {"params": qtree, "act_scale": upd["act_scale"]}
     else:
         params = model.init(jax.random.key(0), x0, jnp.zeros((B,), jnp.int32), y, **kw)
-    params = jax.tree_util.tree_map(
-        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p, params
-    )
+    # bf16 cast covers the weights ONLY — mirroring bench.py: calibrated
+    # act_scale amaxes and per-channel quant scales stay f32 so the dequant
+    # epilogue precision matches the benched configuration (ADVICE r2)
+    params = {
+        **params,
+        "params": jax.tree_util.tree_map(
+            lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+            params["params"],
+        ),
+    }
 
     def measure(name, steps, use_ddim, flat=False, reps=None):
         """flat=False: reps nested in one jitted lax.scan (one program, one

@@ -200,7 +200,12 @@ class TestInt8KeyframeErrorGate:
         s_f, m_f = _sample(args, batch, B, T, "float")
         kf_f = _keyframe_error(s_f, batch, m_f, ds)
         kf_zero = _keyframe_error(np.zeros_like(s_f), batch, m_f, ds)
-        assert kf_f < kf_zero, (kf_f, kf_zero)
+        # quantitative margin (ADVICE r2): a model only marginally better
+        # than predicting the population mean must NOT pass. The committed
+        # 30k-step checkpoint measures kf_f/kf_zero ≈ 0.77 (1.234/1.604,
+        # BENCH_NOTES.md) — 0.9 leaves headroom for re-trains without
+        # letting a near-trivial model through.
+        assert kf_f < 0.9 * kf_zero, (kf_f, kf_zero)
 
         s_drop, _ = _sample(args, batch, B, T, "float", drop_obs=True)
         kf_drop = _keyframe_error(s_drop, batch, m_f, ds)
