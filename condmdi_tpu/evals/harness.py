@@ -105,6 +105,7 @@ def generate_eval_batch(
     rel_stats: NormStats,
     model_is_abs: bool = True,
     cache_path: Optional[str] = None,
+    mesh=None,
 ) -> GeneratedBatch:
     """One test batch → generated motions + CondMDI metrics.
 
@@ -113,6 +114,10 @@ def generate_eval_batch(
     `cache_path`: optional .npz path caching the raw samples per
     (seed, batch, replication) — the reference's .pt sample cache
     (comp_v6_model_dataset_condmdi.py:382) for cheap harness re-runs.
+    `mesh`: optional jax.sharding.Mesh — the sampling scan then runs
+    data-parallel over its 'dp' axis (parallel/dp_sample.py), batch sharded,
+    params replicated; results are value-identical to single-device on the
+    same rng key.
     """
     import os
 
@@ -147,11 +152,19 @@ def generate_eval_batch(
             dict(obs_x0=motion_abs, obs_mask=obs_mask)
             if cfg.keyframe_conditioned else {}
         )
-        sample = pipe.sample(
-            sample_rng, (B, T, F), y,
-            guidance_param=cfg.guidance_param,
-            **obs_kw,
-        )
+        if mesh is not None:
+            from condmdi_tpu.parallel.dp_sample import dp_sample
+
+            sample = dp_sample(
+                pipe, mesh, sample_rng, (B, T, F), y,
+                guidance_param=cfg.guidance_param, **obs_kw,
+            )
+        else:
+            sample = pipe.sample(
+                sample_rng, (B, T, F), y,
+                guidance_param=cfg.guidance_param,
+                **obs_kw,
+            )
         if cache_path is not None:
             os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
             np.savez(cache_path, sample=np.asarray(sample), obs_mask=np.asarray(obs_mask))

@@ -71,11 +71,22 @@ def main(argv=None):
     vec = load_word_vectorizer()
     evaluator, evaluator_source = load_evaluator()
 
+    # multi-chip: shard the generation batch over all devices (dp mesh,
+    # params replicated) — value-identical to single-device on the same keys
+    # (parallel/dp_sample.py); single device keeps the plain path
+    mesh = None
+    ndev = len(jax.devices())
+    if ndev > 1 and B % ndev == 0:
+        from condmdi_tpu.parallel import make_mesh
+
+        mesh = make_mesh()
+        print(f"eval generation: data-parallel over {ndev} devices")
+
     def generate_fn(rep):
         return [
             generate_eval_batch(
                 pipe, b, jax.random.key(args.seed + rep * 1000 + i), cfg,
-                ds_abs.stats, ds_rel.stats,
+                ds_abs.stats, ds_rel.stats, mesh=mesh,
             )
             for i, b in enumerate(gt_batches)
         ]
@@ -87,7 +98,7 @@ def main(argv=None):
             [
                 generate_eval_batch(
                     pipe, b, jax.random.key(9_000_000 + rep * 10_000 + r * 100 + i),
-                    cfg, ds_abs.stats, ds_rel.stats,
+                    cfg, ds_abs.stats, ds_rel.stats, mesh=mesh,
                 )
                 for i, b in enumerate(gt_batches[:3])
             ]

@@ -6,6 +6,7 @@ from condmdi_tpu.parallel.mesh import (
     data_parallel_spec,
     initialize_distributed,
 )
+from condmdi_tpu.parallel.dp_sample import dp_sample, shard_sample_inputs
 from condmdi_tpu.parallel.tp import (
     TP_AXIS,
     MDM_TP_RULES,

@@ -1,0 +1,95 @@
+"""Data-parallel (multi-chip) sampling.
+
+The reference has no distributed execution at all (utils/dist_util.py:18-41
+is a dead stub) — sampling and evaluation are single-GPU python loops. Here
+the whole denoising scan runs as ONE jitted program over a `jax.sharding`
+mesh: the batch dimension is sharded over the 'dp' axis, params stay
+replicated, and XLA partitions the scan body with zero collectives in the
+steady state (per-example computation only — GroupNorm/attention reduce
+within an example). N chips sample N× the batch in the same wall-clock,
+which is what makes the headline "samples/sec/chip" metric an honest
+multi-chip claim.
+
+Bit-exactness: JAX's counter-based (threefry) RNG makes `random.normal(key,
+shape)` value-identical regardless of how the output is sharded, so a DP
+run on the same key reproduces the single-device samples (asserted by
+tests/test_dp_sampling.py on the virtual 8-device CPU mesh; kernel-level
+reassociation differences can in principle appear on other backends, the
+test pins the tolerance).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from condmdi_tpu.parallel.mesh import DATA_AXIS
+
+Array = jax.Array
+
+
+def shard_sample_inputs(mesh, batch_size: int, tree: Any) -> Any:
+    """Place every array leaf: batch-leading → sharded over dp, else
+    replicated. Non-arrays pass through."""
+    dp = NamedSharding(mesh, P(DATA_AXIS))
+    rep = NamedSharding(mesh, P())
+
+    def put(x):
+        if x is None:
+            return None
+        x = jnp.asarray(x)
+        want = dp if (x.ndim >= 1 and x.shape[0] == batch_size) else rep
+        return jax.device_put(x, want)
+
+    return jax.tree_util.tree_map(put, tree, is_leaf=lambda v: v is None)
+
+
+def dp_sample(
+    pipe,
+    mesh,
+    rng: Array,
+    shape: tuple[int, ...],
+    y: dict[str, Any],
+    guidance_param: float = 1.0,
+    obs_x0: Optional[Array] = None,
+    obs_mask: Optional[Array] = None,
+    noise: Optional[Array] = None,
+    inpaint=None,
+) -> Array:
+    """pipe.sample, jitted with the batch sharded over the mesh's dp axis.
+
+    The jitted callable is cached on the pipeline object per
+    (mesh, guidance, arg-structure) — repeated harness batches reuse it.
+    """
+    B = shape[0]
+    n = mesh.devices.size
+    if B % n != 0:
+        raise ValueError(f"batch {B} not divisible by mesh size {n}")
+
+    y = shard_sample_inputs(mesh, B, y)
+    obs_x0, obs_mask, noise = shard_sample_inputs(mesh, B, (obs_x0, obs_mask, noise))
+    inpaint = shard_sample_inputs(mesh, B, inpaint) if inpaint is not None else None
+    rng = jax.device_put(rng, NamedSharding(mesh, P()))
+
+    cache_key = (id(mesh), shape, float(guidance_param),
+                 obs_x0 is not None, noise is not None, inpaint is not None)
+    cache = getattr(pipe, "_dp_jit_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(pipe, "_dp_jit_cache", cache)
+    fn = cache.get(cache_key)
+    if fn is None:
+        def run(rng, y, obs_x0, obs_mask, noise, inpaint):
+            kw = {}
+            if obs_x0 is not None:
+                kw = dict(obs_x0=obs_x0, obs_mask=obs_mask)
+            return pipe.sample(
+                rng, shape, y, guidance_param, noise=noise, inpaint=inpaint, **kw
+            )
+
+        fn = jax.jit(run)
+        cache[cache_key] = fn
+    return fn(rng, y, obs_x0, obs_mask, noise, inpaint)
