@@ -91,6 +91,18 @@ FIELD_SLICES = {
 }
 
 
+# canonical NeMF on-disk field order — this IS the 764-d layout the
+# FIELD_SLICES/MAT_* masks index into (reference dataset.py:27 documents the
+# ds key list; the reference itself concatenates in glob() order, which is
+# filesystem-dependent — here the order is pinned explicitly). Disk keys
+# 'angular'/'velocity' map to slices 291:363 / 398:470 (named
+# 'velocity'/'global_vel' in FIELD_SLICES).
+AMASS_FIELD_ORDER = (
+    "trans", "rotmat", "pos", "angular", "contacts", "height",
+    "root_vel", "velocity", "global_xform", "root_orient", "rot6d",
+)
+
+
 class AMASSDataset:
     """File-backed AMASS (requires NeMF-preprocessed .pt field tensors)."""
 
@@ -105,6 +117,10 @@ class AMASSDataset:
         for f in sorted(ds_dir.glob("*.pt")):
             key = f.name.split("-")[0]
             self.ds[key] = torch.load(f, map_location="cpu")
+        missing = [k for k in AMASS_FIELD_ORDER if k in ("trans",) and k not in self.ds]
+        if missing:
+            raise FileNotFoundError(f"AMASS field tensors missing: {missing}")
+        self.field_order = [k for k in AMASS_FIELD_ORDER if k in self.ds]
         self.clip_length = AMASS_CLIP_LENGTH
         self.mean = torch.load(self.root / "mean-male-128-30fps.pt", map_location="cpu")
         self.std = torch.load(self.root / "std-male-128-30fps.pt", map_location="cpu")
@@ -114,7 +130,7 @@ class AMASSDataset:
 
     def __getitem__(self, idx: int) -> dict:
         pieces = []
-        for key in self.ds.keys():
+        for key in self.field_order:
             v = (self.ds[key][idx] - self.mean[key][0]) / self.std[key][0]
             pieces.append(np.asarray(v).reshape(self.clip_length, -1))
         motion = np.concatenate(pieces, axis=-1).astype(np.float32)

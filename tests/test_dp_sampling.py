@@ -82,6 +82,7 @@ class TestDpSampling:
         db = out.sharding.shard_shape(out.shape)[0]
         assert db == b["shape"][0] // 8
 
+    @pytest.mark.slow
     def test_cfg_guidance_path(self, tiny_pipe):
         pipe, b = tiny_pipe
         mesh = make_mesh()
@@ -98,6 +99,7 @@ class TestDpSampling:
         )
         np.testing.assert_array_equal(np.asarray(single), np.asarray(sharded))
 
+    @pytest.mark.slow
     def test_harness_generate_with_mesh(self, tiny_pipe):
         """generate_eval_batch(mesh=...) equals the single-device harness."""
         from condmdi_tpu.data.dataset import DatasetConfig, SyntheticMotionDataset, collate

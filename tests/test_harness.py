@@ -142,6 +142,7 @@ class TestEvalHarness:
         assert "multimodality" in summary
         assert np.isfinite(summary["multimodality"]["mean"])
 
+    @pytest.mark.slow
     def test_sample_caching(self, setup, tmp_path):
         from condmdi_tpu.evals.harness import EvalConfig, generate_eval_batch
 

@@ -150,6 +150,7 @@ class TestInt8MDM:
         assert rel < 0.1, rel
 
 
+@pytest.mark.slow
 class TestInt8StaticScales:
     """Static-activation-scale serving path: calibrate via a mutable
     `act_scale` collection, then serve with zero per-step abs-max reduces
