@@ -117,6 +117,19 @@ class STGCNClassifier:
             sd = sd["model"]
         return cls(convert_stgcn_state_dict(sd), **kw)
 
+    @classmethod
+    def random_init(cls, in_channels: int = 6, num_class: int = 12,
+                    layout: str = "smpl", strategy: str = "spatial",
+                    seed: int = 0) -> "STGCNClassifier":
+        """Asset-free fallback (relative comparisons only)."""
+        from condmdi_tpu.evals.stgcn import build_graph, random_params
+
+        A = build_graph(layout, strategy)
+        return cls(
+            random_params(in_channels, num_class, A.shape[-1], A.shape[0], seed),
+            layout=layout, strategy=strategy,
+        )
+
 
 def evaluate_a2m(
     classifier: A2MClassifier,

@@ -61,16 +61,31 @@ def load_word_vectorizer():
         return HashWordVectorizer()
 
 
+TRAINED_EVALUATOR = Path("save/evaluator_synth/evaluator.npz")
+
+
 def load_evaluator():
-    """(evaluator, source) — converted T2M checkpoint if present, else a
-    LOUD random-init fallback (absolute numbers meaningless)."""
+    """(evaluator, source) — resolution order:
+      1. converted reference T2M checkpoint (absolute paper-comparable numbers)
+      2. the in-image contrastively-trained synthetic evaluator
+         (evals/train_evaluator.py) — DISCRIMINATIVE on the synthetic
+         population (R-precision well above chance), not paper-comparable
+      3. LOUD random-init fallback (absolute numbers meaningless)."""
     from condmdi_tpu.evals.evaluator import EvaluatorWrapper
 
     eval_ckpt = Path("t2m/text_mot_match/model/finest.tar")
     if eval_ckpt.exists():
         return EvaluatorWrapper.from_torch_checkpoint(str(eval_ckpt)), "checkpoint"
+    if TRAINED_EVALUATOR.exists():
+        from condmdi_tpu.evals.train_evaluator import load_params_npz
+
+        return (
+            EvaluatorWrapper(load_params_npz(TRAINED_EVALUATOR)),
+            "trained_synthetic",
+        )
     warnings.warn(
-        "T2M evaluator checkpoint absent — using a RANDOM-INIT evaluator. "
+        "No evaluator checkpoint (neither the reference T2M one nor the "
+        "in-image trained synthetic one) — using a RANDOM-INIT evaluator. "
         "FID/R-precision from this run are meaningless as absolute numbers; "
         "the report will carry evaluator=random_init.",
         stacklevel=2,

@@ -227,3 +227,50 @@ def convert_stgcn_state_dict(sd: dict) -> dict:
         "bias": npy(sd["fcn.bias"]),
     }
     return params
+
+
+def random_params(
+    in_channels: int, num_class: int, num_nodes: int, K: int, seed: int = 0
+) -> dict:
+    """Random-init ST-GCN param tree matching convert_stgcn_state_dict's
+    layout — the asset-free fallback feature extractor for the a2m /
+    unconstrained protocol CLIs (relative comparisons only; absolute
+    FID/accuracy need the reference recognition checkpoints)."""
+    rng = np.random.default_rng(seed)
+
+    def bn(c):
+        return {
+            "scale": np.ones(c, np.float32), "bias": np.zeros(c, np.float32),
+            "mean": np.zeros(c, np.float32), "var": np.ones(c, np.float32),
+        }
+
+    def conv(cout, cin, kh, kw):
+        fan = cin * kh * kw
+        return {
+            "kernel": rng.normal(0, np.sqrt(2.0 / fan), (cout, cin, kh, kw)).astype(np.float32),
+            "bias": np.zeros(cout, np.float32),
+        }
+
+    params: dict = {"data_bn": bn(num_nodes * in_channels)}
+    params["edge_importance"] = [
+        np.ones((K, num_nodes, num_nodes), np.float32)
+        for _ in range(len(STGCN_CHANNELS))
+    ]
+    c_in = in_channels
+    for i, (_, c_out, stride, residual) in enumerate(STGCN_CHANNELS):
+        blk = {
+            "gcn": conv(K * c_out, c_in, 1, 1),
+            "tcn_bn1": bn(c_out),
+            "tcn": conv(c_out, c_out, 9, 1),
+            "tcn_bn2": bn(c_out),
+        }
+        if residual and (c_in != c_out or stride != 1):
+            blk["res"] = conv(c_out, c_in, 1, 1)
+            blk["res_bn"] = bn(c_out)
+        params[f"block{i}"] = blk
+        c_in = c_out
+    params["fcn"] = {
+        "kernel": rng.normal(0, 0.05, (256, num_class)).astype(np.float32),
+        "bias": np.zeros(num_class, np.float32),
+    }
+    return params

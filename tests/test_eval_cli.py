@@ -97,3 +97,77 @@ class TestGMDConditionProtocol:
         )
         assert report["meta"]["random_init_models"] is True
         assert "two-stage" in report["meta"]["protocol"]
+
+
+class TestA2MProtocol:
+    """eval_humanact12_uestc protocol entry (reference :18) asset-free."""
+
+    def test_debug_a2m_runs(self, tmp_path):
+        import json
+        from pathlib import Path
+
+        from condmdi_tpu.evals.run_a2m import main
+
+        summary = main([
+            "--eval_mode", "debug",
+            "--diffusion_steps", "4",
+            "--num_samples", "16",
+            "--batch_size", "16",
+            "--num_frames", "24",
+            "--latent_dim", "32",
+            "--layers", "1",
+            "--output_dir", str(tmp_path),
+        ])
+        assert np.isfinite(summary["fid"]["mean"])
+        assert 0.0 <= np.ravel(summary["accuracy"]["mean"])[0] <= 1.0
+        blob = json.loads(
+            (Path(tmp_path) / "eval_a2m_humanact12_debug.json").read_text()
+        )
+        assert blob["meta"]["protocol"] == "a2m"
+        assert blob["meta"]["synthetic_data"] is True
+        assert blob["meta"]["classifier"] == "random_init"
+
+    def test_debug_uestc_branch(self, tmp_path):
+        from condmdi_tpu.evals.run_a2m import main
+
+        summary = main([
+            "--dataset", "uestc",
+            "--eval_mode", "debug",
+            "--diffusion_steps", "2",
+            "--num_samples", "8",
+            "--batch_size", "8",
+            "--num_frames", "16",
+            "--latent_dim", "16",
+            "--layers", "1",
+            "--output_dir", str(tmp_path),
+        ])
+        assert np.isfinite(summary["fid"]["mean"])
+
+
+class TestUnconstrainedProtocol:
+    """eval/unconstrained/evaluate.py protocol entry asset-free."""
+
+    def test_debug_unconstrained_runs(self, tmp_path):
+        import json
+        from pathlib import Path
+
+        from condmdi_tpu.evals.run_unconstrained import main
+
+        summary = main([
+            "--eval_mode", "debug",
+            "--diffusion_steps", "4",
+            "--num_samples", "16",
+            "--batch_size", "16",
+            "--num_frames", "24",
+            "--latent_dim", "32",
+            "--layers", "1",
+            "--kid_subsets", "3",
+            "--output_dir", str(tmp_path),
+        ])
+        for k in ("fid", "kid", "precision", "recall", "diversity"):
+            assert np.isfinite(summary[k]["mean"]), k
+        blob = json.loads(
+            (Path(tmp_path) / "eval_unconstrained_debug.json").read_text()
+        )
+        assert blob["meta"]["protocol"] == "unconstrained"
+        assert blob["meta"]["features"] == "stgcn_smpl_rot6d"
