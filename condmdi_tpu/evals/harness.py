@@ -304,6 +304,13 @@ def evaluation(
     if log_file:
         import json
 
+        # per-replication raw values ride along so a committed report can be
+        # re-derived one replication at a time (repro test: replication 0
+        # re-run on the same seeds must match within tolerance)
+        blob = dict(summary)
+        blob["per_replication"] = {
+            k: np.asarray(v).tolist() for k, v in results.items()
+        }
         with open(log_file, "w") as fh:
-            json.dump(summary, fh, indent=2)
+            json.dump(blob, fh, indent=2)
     return summary

@@ -38,6 +38,10 @@ def main(argv=None):
     args = parse_args(EvalArgs, argv)
     args.keyframe_conditioned = True
     mode = EVAL_MODES.get(args.eval_mode, EVAL_MODES["wo_mm"])
+    if getattr(args, "max_replications", 0):
+        mode = {**mode, "replication_times": min(
+            mode["replication_times"], args.max_replications
+        )}
 
     T = args.num_frames
     B = 32  # fixed eval batch (reference :455)
@@ -105,7 +109,10 @@ def main(argv=None):
             for r in range(mode["mm_num_repeats"])
         ]
 
-    out_dir = Path(args.model_path).parent if args.model_path else Path("save/eval_out")
+    out_dir = Path(
+        getattr(args, "output_dir", "")
+        or (Path(args.model_path).parent if args.model_path else "save/eval_out")
+    )
     out_dir.mkdir(parents=True, exist_ok=True)
     log_file = out_dir / f"eval_{args.edit_mode}_{args.eval_mode}.json"
     summary = evaluation(

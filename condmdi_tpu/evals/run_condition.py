@@ -142,7 +142,10 @@ def main(argv=None):
             for i, b in enumerate(gt_batches)
         ]
 
-    out_dir = Path(args.model_path).parent if args.model_path else Path("save/eval_out")
+    out_dir = Path(
+        getattr(args, "output_dir", "")
+        or (Path(args.model_path).parent if args.model_path else "save/eval_out")
+    )
     out_dir.mkdir(parents=True, exist_ok=True)
     log_file = out_dir / f"eval_condition_{args.eval_mode}.json"
     summary = evaluation(evaluator, gt_batches, generate_fn, cfg, vec, str(log_file))

@@ -89,7 +89,10 @@ def main(argv=None):
             for r in range(mode["mm_num_repeats"])
         ]
 
-    out_dir = Path(args.model_path).parent if args.model_path else Path("save/eval_out")
+    out_dir = Path(
+        getattr(args, "output_dir", "")
+        or (Path(args.model_path).parent if args.model_path else "save/eval_out")
+    )
     out_dir.mkdir(parents=True, exist_ok=True)
     log_file = out_dir / f"eval_humanml_{args.eval_mode}.json"
     summary = evaluation(

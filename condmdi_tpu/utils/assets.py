@@ -160,6 +160,22 @@ ASSETS = (
         ),
     ),
     Asset(
+        name="models",
+        description="Released CondMDI model checkpoints (README.md:116-122)",
+        check_paths=("save/condmdi_randomframes/model000750000.pt",),
+        commands=(
+            "mkdir -p save && cd save && "
+            "gdown --fuzzy https://drive.google.com/file/d/15mYPp2U0VamWfu1SnwCukUUHczY9RPIP/view?usp=sharing && "
+            "unzip -o condmdi_randomframes.zip && rm condmdi_randomframes.zip",
+            "cd save && "
+            "gdown --fuzzy https://drive.google.com/file/d/1aP-z1JxSCTcUHhMqqdL2wbwQJUZWHT2j/view?usp=sharing && "
+            "unzip -o condmdi_randomjoints.zip && rm condmdi_randomjoints.zip",
+            "cd save && "
+            "gdown --fuzzy https://drive.google.com/file/d/1B0PYpmCXXwV0a5mhkgea_J2pOwhYy-k5/view?usp=sharing && "
+            "unzip -o condmdi_uncond.zip && rm condmdi_uncond.zip",
+        ),
+    ),
+    Asset(
         name="clip",
         description="CLIP ViT-B/32 checkpoint (text conditioning)",
         check_paths=("save/clip/ViT-B-32.pt",),

@@ -223,6 +223,10 @@ class EvaluationOptions:
     # model checkpoint; empty = random init (smoke/protocol testing only)
     traj_model_path: str = ""
     classifier_scale: float = 100.0
+    # cap the eval-mode's replication count (0 = use the mode's own count).
+    # Lets a repro test re-derive replication 0 of a committed 20-rep report
+    # without paying for all 20 (same seeds → same values).
+    max_replications: int = 0
 
 
 # --------------------------------------------------------------------------- #
