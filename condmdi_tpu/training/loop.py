@@ -111,8 +111,9 @@ def make_train_step(
     sched: DiffusionSchedule,
     dcfg: DiffusionConfig,
     tcfg: TrainConfig,
+    raw: bool = False,
 ):
-    """Build the jitted train step.
+    """Build the jitted train step (raw=True: unjitted, for scanning).
 
     apply_fn(params, x, t, y, obs_x0, obs_mask, rngs) -> model output.
     batch: dict(motion [B,T,F], time_mask [B,T], lengths [B],
@@ -243,4 +244,44 @@ def make_train_step(
         )
         return new_state, metrics
 
+    if raw:
+        return train_step
     return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_chained_train_step(
+    apply_fn: Callable[..., Array],
+    sched: DiffusionSchedule,
+    dcfg: DiffusionConfig,
+    tcfg: TrainConfig,
+):
+    """K train steps per host dispatch, as ONE lax.scan over the step.
+
+    Built for the device-HBM data cache: batches are gathered ON-DEVICE
+    from the cached dataset by a [K, B] index array, so a dispatch moves
+    only indices + one rng key across the host↔device link. This is what
+    makes small-model training fast through the remote-TPU relay — the
+    per-step dispatch latency (~200 ms observed) otherwise dwarfs the
+    compute (~3 ms for the latent-128 gate config). No reference
+    equivalent (the reference is a per-step eager loop).
+
+    Returns jitted (state, data, idx [K,B], rng) -> (state, metrics) with
+    metrics averaged over the K steps (loss also reported as `loss_last`).
+    """
+    step = make_train_step(apply_fn, sched, dcfg, tcfg, raw=True)
+
+    def chained(state: TrainState, data: dict, idx: Array, rng: Array):
+        K = idx.shape[0]
+
+        def body(carry, inp):
+            i, r = inp
+            batch = jax.tree_util.tree_map(lambda a: a[i], data)
+            return step(carry, batch, r)
+
+        rngs = jax.random.split(rng, K)
+        state, ms = jax.lax.scan(body, state, (idx, rngs))
+        metrics = {k: jnp.mean(v) for k, v in ms.items()}
+        metrics["loss_last"] = ms["loss"][-1]
+        return state, metrics
+
+    return jax.jit(chained, donate_argnums=(0,))

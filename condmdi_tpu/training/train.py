@@ -77,6 +77,7 @@ class TrainLoop:
             return model.apply(params, x, t, y, train=train, rngs=rngs, **kw)
 
         self.step_fn = make_train_step(apply_fn, sched, dcfg, self.tcfg)
+        self._step_builder_args = (apply_fn, sched, dcfg)
         # mesh size must divide the per-process batch
         ndev = len(jax.devices())
         n_use = max(k for k in range(1, ndev + 1) if args.batch_size % k == 0)
@@ -236,6 +237,10 @@ class TrainLoop:
     def run_loop(self):
         import jax
 
+        K = int(getattr(self.args, "steps_per_dispatch", 1) or 1)
+        if K > 1 and self.device_data is not None:
+            return self._run_loop_chained(K)
+
         step = self.resume_step
         t_last = time.time()
         prev_metrics = None
@@ -276,6 +281,77 @@ class TrainLoop:
                 if os.environ.get("DIFFUSION_TRAINING_TEST", ""):
                     return
         # final save unless the loop just saved (reference :250-252)
+        if step % self.tcfg.save_interval != 0:
+            self.save(step)
+
+    def _run_loop_chained(self, K: int):
+        """K steps per dispatch via make_chained_train_step (lax.scan over
+        the train step, on-device batch gather from the HBM cache). Only a
+        [K,B] index array + one rng key cross the link per dispatch —
+        ~50× throughput for relay-latency-bound small configs."""
+        import jax
+        import jax.numpy as jnp
+
+        from condmdi_tpu.training.loop import make_chained_train_step
+
+        apply_fn, sched, dcfg = self._step_builder_args
+        chained = make_chained_train_step(apply_fn, sched, dcfg, self.tcfg)
+        data, n = self.device_data
+        B = self.args.batch_size
+        refresh = (
+            int(getattr(self.args, "device_cache_refresh", 1000) or 0)
+            if getattr(self.data_loader.dataset, "has_random_item_transforms", True)
+            else 0
+        )
+        rng_idx = np.random.default_rng(
+            self.args.seed + 17 + 1009 * self.data_loader.process_index
+        )
+        step = self.resume_step
+        t_last = time.time()
+        last_logged = step
+        print(f"chained training: {K} steps/dispatch")
+        while step < self.tcfg.num_steps:
+            k = min(K, self.tcfg.num_steps - step)
+            if k < K:
+                # final partial chunk reuses the same compiled K-step program
+                # shape by padding with extra draws; extra steps are real but
+                # past num_steps only within the last chunk — acceptable for
+                # a budget counted in 100k units... no: keep exact semantics,
+                # fall back to the single-step path for the tail
+                break
+            if refresh and step and (step // refresh) != ((step - K) // refresh):
+                fresh = self._collate_shard()
+                if fresh is not None:
+                    data = fresh
+            idx = rng_idx.choice(n, size=(K, B), replace=True)
+            self.rng, sub = jax.random.split(self.rng)
+            self.state, metrics = chained(self.state, data, jnp.asarray(idx), sub)
+            prev = step
+            step += K
+            if step - last_logged >= self.tcfg.log_interval or step >= self.tcfg.num_steps:
+                jax.block_until_ready(metrics["loss"])
+                m = {key: float(v) for key, v in metrics.items()}
+                m["step"] = step
+                m["steps_per_sec"] = (step - last_logged) / max(time.time() - t_last, 1e-9)
+                t_last = time.time()
+                last_logged = step
+                self.logger.logkvs(m)
+                self.logger.dumpkvs()
+                print(f"step[{step}]: loss[{m['loss']:.5f}] "
+                      f"({m['steps_per_sec']:.1f} steps/s)")
+            if (step // self.tcfg.save_interval) != (prev // self.tcfg.save_interval):
+                self.save(step)
+                self.evaluate(step)
+                if os.environ.get("DIFFUSION_TRAINING_TEST", ""):
+                    return
+        # exact tail (num_steps not divisible by K) runs single-step
+        if step < self.tcfg.num_steps:
+            for batch in self._batches():
+                if step >= self.tcfg.num_steps:
+                    break
+                self.rng, sub = jax.random.split(self.rng)
+                self.state, metrics = self.step_fn(self.state, batch, sub)
+                step += 1
         if step % self.tcfg.save_interval != 0:
             self.save(step)
 

@@ -116,6 +116,11 @@ class TrainingOptions:
     # the cached shard every device_cache_refresh steps.
     device_data_cache: str = "auto"  # auto | true | false
     device_cache_refresh: int = 1000  # steps between cache re-collations (0 = never)
+    # >1: chain K train steps per host dispatch (one lax.scan over the step,
+    # batches gathered on-device from the HBM cache) — essential when the
+    # per-dispatch link latency exceeds the step's compute (small models
+    # through the remote-TPU relay). Requires device_data_cache.
+    steps_per_dispatch: int = 1
     apply_zero_mask: bool = False
     traj_extra_weight: float = 1.0
     time_weighted_loss: bool = False

@@ -170,3 +170,44 @@ class TestRootChannelConverters:
         # (its velocity is unrecoverable — same loss as the reference)
         np.testing.assert_allclose(back[:, :-1, :3], data[:, :-1, :3], atol=1e-4)
         np.testing.assert_allclose(back[..., 3:], data[..., 3:], atol=1e-6)
+
+
+class TestChainedDispatch:
+    def test_chained_steps_train_and_checkpoint(self, tmp_path):
+        """steps_per_dispatch > 1: K steps per lax.scan dispatch with
+        on-device batch gather; must hit the same step count, save on the
+        interval boundaries, and run the non-divisible tail single-step."""
+        from condmdi_tpu.training.train import main
+        from condmdi_tpu.utils import checkpoint as ckpt
+
+        argv = [
+            "--save_dir", str(tmp_path / "run"),
+            "--num_steps", "25",
+            "--save_interval", "10",
+            "--log_interval", "10",
+            "--batch_size", "4",
+            "--num_frames", "28",
+            "--latent_dim", "16",
+            "--dim_mults", "1", "2",
+            "--diffusion_steps", "8",
+            "--keyframe_conditioned", "true",
+            "--use_fp16", "false",
+            "--data_dir", "/nonexistent",
+            "--device_data_cache", "true",
+            "--device_cache_refresh", "0",
+            "--steps_per_dispatch", "10",
+        ]
+        main(argv)
+        names = sorted(p.name for p in (tmp_path / "run").glob("ckpt_*"))
+        assert "ckpt_000000010" in names and "ckpt_000000020" in names
+        assert "ckpt_000000025" in names  # single-step tail completed
+        restored = ckpt.load_checkpoint(tmp_path / "run" / "ckpt_000000025")
+        assert int(np.asarray(restored["step"])) == 25
+        leaves = [np.asarray(x) for x in _tree_leaves(restored["params"])]
+        assert all(np.isfinite(a).all() for a in leaves)
+
+
+def _tree_leaves(tree):
+    import jax
+
+    return jax.tree_util.tree_leaves(tree)
