@@ -130,6 +130,12 @@ def main(argv=None):
         "edit_mode": args.edit_mode,
         "replications": mode["replication_times"],
         "model_path": args.model_path,
+        # enough to re-derive any single replication (tests/test_report_repro)
+        "guidance_param": args.guidance_param,
+        "num_samples": len(gt_batches) * B,
+        "seed": args.seed,
+        "use_ema": getattr(args, "use_ema", True),
+        "devices": ndev,
     })
     return summary
 

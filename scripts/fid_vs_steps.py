@@ -1,0 +1,96 @@
+"""FID / keyframe-error vs training steps, scored by the trained evaluator.
+
+VERDICT r3 #1 done-criterion: with the in-image contrastive evaluator the
+quality numbers must MEAN something — FID should fall (and R-precision
+rise) as the gate checkpoint trains. Runs the debug protocol (5
+replications) on every saved checkpoint of a training run in ONE process
+(the sampling scan compiles once and is reused across checkpoints), plus a
+step-0 random-init baseline.
+
+Usage:
+  python scripts/fid_vs_steps.py --run_dir save/synthetic_unet_m \
+      [--eval_mode debug] [--num_samples 32] [--out fid_vs_steps.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--run_dir", default="save/synthetic_unet_m")
+    ap.add_argument("--eval_mode", default="debug")
+    ap.add_argument("--num_samples", type=int, default=32)
+    ap.add_argument("--guidance_param", type=float, default=1.0)
+    ap.add_argument("--out", default="")
+    args = ap.parse_args(argv)
+
+    import os
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+    from condmdi_tpu.evals.run import main as eval_main
+
+    run_dir = Path(args.run_dir)
+    targs = json.loads((run_dir / "args.json").read_text())
+    ckpts = sorted(run_dir.glob("ckpt_*"))
+    points = [(0, None)] + [(int(p.name.split("_")[-1]), p) for p in ckpts]
+
+    rows = []
+    for step, path in points:
+        argv_eval = [
+            "--eval_mode", args.eval_mode,
+            "--edit_mode", "benchmark_sparse",
+            "--guidance_param", str(args.guidance_param),
+            "--num_samples", str(args.num_samples),
+            "--use_ema", "false",
+            "--output_dir", "/tmp/fid_vs_steps_out",
+        ]
+        if path is None:
+            # random init at the run's architecture
+            argv_eval += [
+                "--arch", str(targs.get("arch", "unet")),
+                "--latent_dim", str(targs.get("latent_dim", 128)),
+                "--diffusion_steps", str(targs.get("diffusion_steps", 1000)),
+                "--num_frames", str(targs.get("num_frames", 224)),
+                "--abs_3d", str(targs.get("abs_3d", True)).lower(),
+                "--model_path", "",
+            ]
+            argv_eval += ["--dim_mults"] + [
+                str(int(m)) for m in targs.get("dim_mults", (1, 2, 2))
+            ]
+        else:
+            argv_eval += ["--model_path", str(path)]
+        summary = eval_main(argv_eval)
+        row = dict(
+            step=step,
+            fid=float(np.ravel(summary["fid"]["mean"])[0]),
+            keyframe_error=float(np.ravel(summary["keyframe_error"]["mean"])[0]),
+            traj_error_mean=float(np.ravel(summary["traj_error"]["mean"])[-1]),
+            r_precision=[round(float(x), 4) for x in np.ravel(summary["r_precision"]["mean"])],
+            matching_score=float(np.ravel(summary["matching_score"]["mean"])[0]),
+        )
+        rows.append(row)
+        print(f"[fid_vs_steps] {row}")
+
+    out = dict(
+        run_dir=str(run_dir), eval_mode=args.eval_mode,
+        num_samples=args.num_samples, evaluator="trained_synthetic",
+        use_ema=False, rows=rows,
+    )
+    out_path = Path(args.out) if args.out else run_dir / "fid_vs_steps.json"
+    out_path.write_text(json.dumps(out, indent=1))
+    print(f"[fid_vs_steps] wrote {out_path}")
+    return out
+
+
+if __name__ == "__main__":
+    main()
