@@ -151,3 +151,44 @@ def int8_matmul(x: Array, kernel: Array, bias: Array | None = None) -> Array:
     if bias is not None:
         out = out + bias
     return out
+
+
+def calibrate_act_scales(
+    model,
+    params: Any,
+    sched,
+    x0: Array,
+    y: dict,
+    t_fracs=(0.999, 0.75, 0.5, 0.25, 0.0),
+    seed: int = 100,
+    **apply_kw,
+) -> Any:
+    """Populate the `act_scale` collection for `precision_mode='int8_static'`.
+
+    Runs the model with `mutable=['act_scale']` on `q_sample(x0, t)` at a
+    spread of timestep fractions so every QConv records a running abs-max
+    over the activation range the sampler actually traverses (the x_t
+    distribution sweeps from ~N(0,1) at t≈T to the data scale at t=0).
+    Returns `{'params': ..., 'act_scale': ...}` ready for `model.apply`.
+
+    Shared by bench.py, tests/test_int8_gate.py, and the eval protocol
+    (`evals.run --precision_mode int8_static`) so all three calibrate
+    identically. Reference has no analogue (torch fp32/fp16 only,
+    model/mdm_unet.py); this is the TPU serving path.
+    """
+    from condmdi_tpu.diffusion.gaussian import q_sample
+
+    x0 = jnp.asarray(x0)
+    n_sched = sched.num_timesteps
+    variables = {"params": params["params"]}
+    for i, frac in enumerate(t_fracs):
+        it = jnp.full((x0.shape[0],), int(frac * (n_sched - 1)), jnp.int32)
+        x_t = q_sample(
+            sched, x0, it, jax.random.normal(jax.random.key(seed + i), x0.shape)
+        )
+        _, upd = model.apply(
+            variables, x_t, sched.model_t(it), y, **apply_kw,
+            mutable=["act_scale"],
+        )
+        variables = {"params": params["params"], "act_scale": upd["act_scale"]}
+    return variables

@@ -77,6 +77,7 @@ class TestA2M:
         assert out["fid"] < 1e-3  # identical distributions
         assert np.isfinite(out["diversity"])
 
+    @pytest.mark.slow  # action-conditioned MDM forward (~20 s)
     def test_action_conditioned_mdm(self):
         """MDM with action conditioning (humanact12 table: 25×6, action emb)."""
         from condmdi_tpu.models import MDM

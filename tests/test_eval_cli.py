@@ -30,6 +30,37 @@ class TestEvalCLI:
         assert np.isfinite(summary["fid"]["mean"])
         assert np.isfinite(summary["keyframe_error"]["mean"])
 
+    def test_debug_eval_int8_static(self, tmp_path):
+        """The FULL protocol runs with the int8_static sampler (VERDICT r3
+        #3b: promote int8 on whole-protocol metric deltas). Calibration uses
+        the shared quant.calibrate_act_scales path."""
+        import json
+        from pathlib import Path
+
+        from condmdi_tpu.evals.run import main
+
+        summary = main([
+            "--eval_mode", "debug",
+            "--max_replications", "1",
+            "--diffusion_steps", "4",
+            "--num_frames", "32",
+            "--latent_dim", "16",
+            "--arch", "unet",
+            "--dim_mults", "1", "2",
+            "--edit_mode", "benchmark_sparse",
+            "--precision_mode", "int8_static",
+            "--num_samples", "32",
+            "--abs_3d", "true",
+            "--model_path", "",
+            "--output_dir", str(tmp_path),
+        ])
+        assert np.isfinite(summary["fid"]["mean"])
+        assert np.isfinite(summary["keyframe_error"]["mean"])
+        report = json.loads(
+            Path(tmp_path, "eval_benchmark_sparse_debug_int8_static.json").read_text()
+        )
+        assert report["meta"]["precision_mode"] == "int8_static"
+
 
 class TestLegacyT2MProtocol:
     """eval_humanml (MDM-style text-only) protocol end-to-end

@@ -89,6 +89,7 @@ class TestMovementEncoderParity:
 
 
 class TestWrapper:
+    @pytest.mark.slow  # full-length GRU co-embedding forward (~45 s)
     def test_embedding_shapes_and_determinism(self):
         w = EvaluatorWrapper.random_init(0)
         rng = np.random.default_rng(3)

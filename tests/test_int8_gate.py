@@ -66,28 +66,15 @@ def _sample(args, batch, B, T, precision_mode, drop_obs=False):
 
     if precision_mode == "int8_static":
         # calibrate activation scales over the x_t range the sampler
-        # traverses (q_sample of the GT batch at spread-out t)
-        from condmdi_tpu.diffusion.gaussian import q_sample
+        # traverses — the SHARED helper used by bench.py and evals.run
+        from condmdi_tpu.ops.quant import calibrate_act_scales
 
         x0_cal = jnp.asarray(batch["motion"])
-        y_cal = {"text_embed": jnp.asarray(batch["text_embed"])}
-        kw_cal = dict(
-            obs_x0=x0_cal, obs_mask=jnp.ones(x0_cal.shape, bool)
+        params = calibrate_act_scales(
+            model, params, sched, x0_cal,
+            {"text_embed": jnp.asarray(batch["text_embed"])},
+            obs_x0=x0_cal, obs_mask=jnp.ones(x0_cal.shape, bool),
         )
-        variables = {"params": params["params"]}
-        n_sched = sched.num_timesteps
-        for i, frac in enumerate((0.999, 0.75, 0.5, 0.25, 0.0)):
-            it = jnp.full((B,), int(frac * (n_sched - 1)), jnp.int32)
-            x_t = q_sample(
-                sched, x0_cal, it,
-                jax.random.normal(jax.random.key(100 + i), x0_cal.shape),
-            )
-            _, upd = model.apply(
-                variables, x_t, sched.model_t(it), y_cal, **kw_cal,
-                mutable=["act_scale"],
-            )
-            variables = {"params": params["params"], "act_scale": upd["act_scale"]}
-        params = variables
 
     def apply_fn(x, t, y, **kw):
         return model.apply(params, x, t, y, **kw)

@@ -4,6 +4,7 @@ import json
 import time
 
 import numpy as np
+import pytest
 
 from condmdi_tpu.utils import logger
 
@@ -54,6 +55,7 @@ class TestLogger:
         assert slow() == 7
         assert logger.dumpkvs()["wait_fn"] >= 0.01
 
+    @pytest.mark.slow  # drags in the tensorboard writer stack (~18 s)
     def test_tensorboard_format(self, tmp_path):
         pytest_ = __import__("pytest")
         pytest_.importorskip("tensorboardX")

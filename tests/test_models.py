@@ -248,6 +248,7 @@ class TestOutputProcessLarge:
         ))
         np.testing.assert_allclose(got, want, atol=2e-5)
 
+    @pytest.mark.slow  # large-variant forward (~20 s); plain archs stay fast
     def test_mdm_large_arch(self):
         model = MDM(njoints=F, latent_dim=64, ff_size=128, num_layers=2,
                     num_heads=4, arch="trans_enc_large", out_mult=2)

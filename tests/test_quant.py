@@ -251,6 +251,7 @@ class TestInt8Prequant:
     QConv(precision_mode='int8_prequant') — half the weight traffic of
     bf16 for bandwidth-bound B=1 serving."""
 
+    @pytest.mark.slow  # whole-UNet forward ×3 precision modes (~80 s)
     def test_prequant_matches_dynamic_int8(self):
         from condmdi_tpu.models.unet import MDM_UNET
         from condmdi_tpu.ops.quant import quantize_params_tree
