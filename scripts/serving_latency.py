@@ -35,9 +35,29 @@ def main(argv=None):
                     default="float",
                     help="unet only: int8 serving paths (B=1 is weight-"
                          "bandwidth-bound, int8 halves weight traffic)")
+    ap.add_argument("--server", action="store_true",
+                    help="route requests through MotionServer (the bucketed "
+                         "micro-batcher, serving.py) instead of flat jit "
+                         "dispatch — measures the ACTUAL serving runtime, "
+                         "queue+pad+bucket overhead included (VERDICT r3 #8)")
+    ap.add_argument("--server_reps", type=int, default=600,
+                    help="sequential B=1 requests through the server (sized "
+                         "so total exceeds the 10 s axon trust floor)")
+    ap.add_argument("--server_burst", type=int, default=256,
+                    help="concurrent requests for the throughput measurement")
     args = ap.parse_args(argv)
 
+    if args.tiny:
+        # CPU smoke must NEVER touch the TPU: a second axon client wedges a
+        # running TPU job (observed r3: the victim spins in sys-time forever)
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
+
     import jax
+
+    if args.tiny:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from condmdi_tpu.diffusion import (
@@ -174,7 +194,79 @@ def main(argv=None):
             print(f"  WARNING: total {total:.1f}s < 10s axon timing trust floor — raise reps")
         return lat_ms
 
+    def measure_server():
+        """Drive MotionServer with the DDIM-50 serving config: sequential
+        B=1 latency (queue + pad + bucket dispatch included) and a burst
+        throughput number. The flat-dispatch `measure` above is the floor;
+        the delta IS the micro-batcher's overhead."""
+        import numpy as np
+
+        from condmdi_tpu.sampling.pipeline import SamplePipeline
+        from condmdi_tpu.serving import MotionRequest, MotionServer
+
+        steps = 4 if args.tiny else 50
+        sched = DiffusionSchedule.create(
+            get_named_beta_schedule("cosine", 1000),
+            use_timesteps=space_timesteps(1000, f"ddim{steps}"),
+        )
+
+        def apply_fn(x, t, yy, **akw):
+            return model.apply(params, x.astype(jnp.bfloat16), t, yy, **akw).astype(
+                x.dtype
+            )
+
+        pipe = SamplePipeline(apply_fn, sched, DiffusionConfig(),
+                              SamplerConfig(method="ddim", eta=0.0))
+        max_batch = 4 if args.tiny else 32
+        server = MotionServer(pipe, T, max_batch=max_batch, max_wait_ms=2.0)
+        server.warmup(buckets=(1, max_batch))
+        text = np.zeros((512,), np.float32)
+
+        # sequential B=1 latency
+        reps = 3 if args.tiny else args.server_reps
+        server.generate(text, seed=0)  # steady-state
+        t0 = time.perf_counter()
+        for i in range(reps):
+            server.generate(text, seed=i + 1)
+        seq_total = time.perf_counter() - t0
+        lat_ms = seq_total / reps * 1e3
+        print(f"server ddim-{steps} seq    {lat_ms:9.1f} ms/request  "
+              f"({seq_total:.1f} s / {reps} reqs, MotionServer B=1 bucket)")
+        if not args.tiny and seq_total < 10.0:
+            print(f"  WARNING: total {seq_total:.1f}s < 10s trust floor — raise --server_reps")
+
+        # burst throughput: submit all at once, micro-batcher coalesces
+        burst = 8 if args.tiny else args.server_burst
+        reqs = [server.submit(MotionRequest(text_embed=text, seed=100 + i))
+                for i in range(burst)]
+        t0 = time.perf_counter()
+        for r in reqs:
+            r.result()
+        # includes the submissions' own sampling: restart the clock cleanly
+        reqs = [server.submit(MotionRequest(text_embed=text, seed=500 + i))
+                for i in range(burst)]
+        t0 = time.perf_counter()
+        for r in reqs:
+            r.result()
+        burst_total = time.perf_counter() - t0
+        print(f"server ddim-{steps} burst  {burst_total / burst * 1e3:9.1f} ms/request  "
+              f"({burst:d} concurrent -> {burst / burst_total:.1f} req/s, "
+              f"max_batch={max_batch})")
+        if not args.tiny and burst_total < 10.0:
+            print(f"  WARNING: burst total {burst_total:.1f}s < 10s trust floor — raise --server_burst")
+        server.shutdown()
+        return lat_ms
+
     print(f"model={args.model} B=1 T={T} bf16{' TINY-SMOKE' if args.tiny else ''}")
+    if args.server:
+        nst = 4 if args.tiny else 50
+        flat_ms = measure(f"ddim-{nst} (flat floor)", nst,
+                          use_ddim=True, flat=True,
+                          reps=3 if args.tiny else max(args.reps, 400))
+        srv_ms = measure_server()
+        print(f"micro-batcher overhead: {srv_ms - flat_ms:+.1f} ms/request "
+              f"({(srv_ms / flat_ms - 1) * 100:+.0f}%)")
+        return
     if args.tiny:
         measure("ddpm-full (smoke)", 1000, use_ddim=False, reps=2)
         measure("ddim-50 (smoke-flat)", 50, use_ddim=True, flat=True, reps=3)
