@@ -344,6 +344,31 @@ class SyntheticMotionDataset:
 
         from condmdi_tpu.geometry.skeleton import T2M_RAW_OFFSETS
 
+        # training-scale sets are deterministic in (abs_3d, T, seed, size):
+        # cache them on disk so a process restart doesn't pay minutes of
+        # FK+codec regeneration (generation is jitted, but in a TPU process
+        # it also pays the remote compile)
+        cache_path = None
+        if size >= 512:
+            import os
+            import tempfile
+
+            cdir = Path(
+                os.environ.get("CONDMDI_SYNTH_CACHE", "~/.cache/condmdi_synth")
+            ).expanduser()
+            cache_path = cdir / f"synth_{int(cfg.abs_3d)}_{T}_{seed}_{size}.npz"
+            if cache_path.exists():
+                try:
+                    z = np.load(cache_path)
+                    feats = z["feats"]
+                    props = [
+                        dict(drift=z["drift"][i], scale=float(z["scale"][i]))
+                        for i in range(size)
+                    ]
+                    return (feats, props) if return_props else feats
+                except Exception:
+                    pass  # corrupt/partial cache: regenerate
+
         batch_features = SyntheticMotionDataset._feature_fn(cfg.abs_3d)
         qs, roots, offs, props = [], [], [], []
         for i in range(size):
@@ -377,6 +402,24 @@ class SyntheticMotionDataset:
                 ).astype(np.float32)
             )
         feats = np.concatenate(out, axis=0)
+        if cache_path is not None:
+            try:
+                cache_path.parent.mkdir(parents=True, exist_ok=True)
+                import os
+                import tempfile
+
+                fd, tmp = tempfile.mkstemp(
+                    dir=str(cache_path.parent), suffix=".npz.tmp"
+                )
+                with os.fdopen(fd, "wb") as f:
+                    np.savez(
+                        f, feats=feats,
+                        drift=np.stack([p["drift"] for p in props]),
+                        scale=np.asarray([p["scale"] for p in props]),
+                    )
+                os.replace(tmp, cache_path)  # atomic vs concurrent writers
+            except Exception:
+                pass  # read-only home etc. — cache is best-effort
         return (feats, props) if return_props else feats
 
     _FEATURE_FNS: dict = {}

@@ -97,3 +97,32 @@ class TestPrefetch:
         import pytest as _p
         with _p.raises(ValueError):
             list(it)
+
+
+class TestSynthDiskCache:
+    def test_cache_round_trip_identical(self, tmp_path, monkeypatch):
+        """Training-scale synthetic sets are disk-cached; a cache hit must
+        reproduce features AND caption-driving props bit-identically."""
+        import condmdi_tpu.data.dataset as dm
+
+        monkeypatch.setenv("CONDMDI_SYNTH_CACHE", str(tmp_path))
+        cfg = dm.DatasetConfig(max_motion_length=32, abs_3d=True, split="train")
+        T = min(cfg.max_motion_length + 1, 200)
+        f1, p1 = dm.SyntheticMotionDataset._make_items(
+            cfg, seed=3, size=512, T=T, return_props=True
+        )
+        assert any(tmp_path.iterdir()), "cache file not written"
+        f2, p2 = dm.SyntheticMotionDataset._make_items(
+            cfg, seed=3, size=512, T=T, return_props=True
+        )
+        np.testing.assert_array_equal(f1, f2)
+        np.testing.assert_array_equal(p1[7]["drift"], p2[7]["drift"])
+        assert p1[7]["scale"] == p2[7]["scale"]
+
+    def test_small_sets_not_cached(self, tmp_path, monkeypatch):
+        import condmdi_tpu.data.dataset as dm
+
+        monkeypatch.setenv("CONDMDI_SYNTH_CACHE", str(tmp_path))
+        cfg = dm.DatasetConfig(max_motion_length=32, abs_3d=True, split="test")
+        dm.SyntheticMotionDataset(cfg, size=8, seed=2)
+        assert not any(tmp_path.iterdir())

@@ -27,7 +27,12 @@ import jax.numpy as jnp
 
 from condmdi_tpu.utils.checkpoint import latest_checkpoint
 
-CKPT = latest_checkpoint(Path(__file__).resolve().parent.parent / "save/synthetic_unet_s")
+# prefer the round-3 wide-margin checkpoint (latent-128, 100k steps, EMA
+# horizon matched); fall back to the round-2 latent-64 one
+_SAVE = Path(__file__).resolve().parent.parent / "save"
+CKPT = latest_checkpoint(_SAVE / "synthetic_unet_m") or latest_checkpoint(
+    _SAVE / "synthetic_unet_s"
+)
 
 pytestmark = [pytest.mark.skipif(CKPT is None, reason="gate checkpoint absent"), pytest.mark.slow]
 
