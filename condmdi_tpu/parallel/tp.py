@@ -1,4 +1,4 @@
-"""Tensor parallelism for the MDM transformer denoiser.
+"""Tensor parallelism for the denoisers (MDM transformer + flagship UNet).
 
 The reference has no distributed path at all (utils/dist_util.py:18-41 is a
 dead stub) — data parallelism in `mesh.py` already exceeds its capability.
@@ -26,6 +26,7 @@ are laid out.
 
 from __future__ import annotations
 
+from fnmatch import fnmatchcase
 from typing import Any, Sequence, Tuple
 
 import jax
@@ -74,10 +75,56 @@ def _path_names(path) -> Tuple[str, ...]:
     return tuple(names)
 
 
+# UNet (flagship CondMDI denoiser) TP rules. Megatron-style pairing inside
+# each ResidualTemporalBlock (models/unet.py:219):
+#
+#   block1.conv kernel [k,Cin,Cout] → P(None,None,'tp')  column-parallel
+#     (input replicated; output h channel-sharded)
+#   GN1 scale/bias + AdaGN scale/shift [C] → P('tp'): GroupNorm(8) groups are
+#     128 channels at C=1024, so any tp ∈ {2,4,8} shards on GROUP boundaries
+#     and the normalization reductions stay device-local (no collective);
+#     non-aligned tp is still correct — GSPMD partitions the reduce.
+#   time_mlp kernel [E,2C] → P(None,'tp') so the AdaGN scale/shift land
+#     channel-aligned with h (the split at C crosses shard boundaries for
+#     tp>2; XLA reshards the tiny [B,C] cond tensors).
+#   block2.conv kernel [k,Cin,Cout] → P(None,'tp',None)  row-parallel
+#     (consumes the sharded h; XLA inserts the psum on exit — the one
+#     all-reduce per resblock, riding ICI)
+#   residual 1×1 conv: replicated (adds to the post-psum replicated h).
+#
+# Down/upsample convs and final_block are column-parallel on Cout;
+# final_conv ([1, C, 263]) is row-parallel so the unsharded 263-dim output
+# emerges from a psum. Suffix elements may be fnmatch globs ('down*_downsample').
+UNET_TP_RULES: Sequence[Tuple[Tuple[str, ...], P]] = (
+    (("time_fc1", "kernel"), P(None, TP_AXIS)),
+    (("time_fc1", "bias"), P(TP_AXIS)),
+    (("time_fc2", "kernel"), P(TP_AXIS, None)),
+    (("time_mlp", "kernel"), P(None, TP_AXIS)),
+    (("time_mlp", "bias"), P(TP_AXIS)),
+    (("block1", "conv", "kernel"), P(None, None, TP_AXIS)),
+    (("block1", "conv", "bias"), P(TP_AXIS)),
+    (("block1", "norm", "scale"), P(TP_AXIS)),
+    (("block1", "norm", "bias"), P(TP_AXIS)),
+    (("block2", "conv", "kernel"), P(None, TP_AXIS, None)),
+    (("down*_downsample", "kernel"), P(None, None, TP_AXIS)),
+    (("down*_downsample", "bias"), P(TP_AXIS)),
+    (("up*_upsample", "kernel"), P(None, None, TP_AXIS)),
+    (("up*_upsample", "bias"), P(TP_AXIS)),
+    (("final_block", "conv", "kernel"), P(None, None, TP_AXIS)),
+    (("final_block", "conv", "bias"), P(TP_AXIS)),
+    (("final_block", "norm", "scale"), P(TP_AXIS)),
+    (("final_block", "norm", "bias"), P(TP_AXIS)),
+    (("final_conv", "kernel"), P(None, TP_AXIS, None)),
+)
+
+
 def tp_spec_for_path(path, rules=MDM_TP_RULES) -> P:
     names = _path_names(path)
     for suffix, spec in rules:
-        if names[-len(suffix):] == tuple(suffix):
+        if len(names) >= len(suffix) and all(
+            fnmatchcase(n, pat)
+            for n, pat in zip(names[-len(suffix):], suffix)
+        ):
             return spec
     return P()
 
