@@ -73,10 +73,13 @@ def build_bench_model(which: str, B: int):
             "unet_int8": "int8",
             "unet_int8_static": "int8_static",
         }[which]
+        # BENCH_FUSED=1 routes eligible resblock halves through the Pallas
+        # fused conv+GN+AdaGN+Mish kernel (ops/resblock.py, float mode only)
+        fused = os.environ.get("BENCH_FUSED", "0") == "1"
         model = MDM_UNET(
             njoints=F, latent_dim=512, dim_mults=(2, 2, 2, 2),
             keyframe_conditioned=True, pad_frames_to=pad_to,
-            precision_mode=mode,
+            precision_mode=mode, fuse_resblocks=fused,
         )
         obs_x0 = jnp.asarray(rng.standard_normal((B, T, F)).astype(np.float32) * 0.1)
         obs_mask = jnp.zeros((B, T, F), bool).at[:, ::10, :].set(True)

@@ -131,17 +131,79 @@ class QConv(nn.Module):
         return out + bias.astype(x.dtype)
 
 
+class _ConvParams(nn.Module):
+    """Declares conv params with QConv's names/shapes/inits WITHOUT running
+    the conv — lets the fused Pallas path share checkpoints with QConv."""
+
+    features: int
+    kernel_size: int
+    zero_init: bool = False
+
+    @nn.compact
+    def __call__(self, cin: int):
+        init = nn.initializers.zeros if self.zero_init else nn.initializers.lecun_normal()
+        kernel = self.param(
+            "kernel", init, (self.kernel_size, cin, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
+class _NormParams(nn.Module):
+    """GroupNorm affine params under nn.GroupNorm's names."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
+
+
+def _fusable(x: Array, cout: int, k: int, n_groups: int, precision_mode: str,
+             fused: bool) -> bool:
+    if not fused or precision_mode != "float":
+        return False
+    import jax
+
+    from condmdi_tpu.ops.resblock import supports
+
+    B, T, cin = x.shape
+    return supports(B, T, cin, cout, k, n_groups,
+                    interpret=jax.default_backend() != "tpu")
+
+
 class Conv1dBlock(nn.Module):
-    """Conv(k) → GroupNorm(8) → Mish."""
+    """Conv(k) → GroupNorm(8) → Mish.
+
+    `fused=True` routes eligible shapes through the single-VMEM-residency
+    Pallas kernel (ops/resblock.py) — identical param tree, inference-only
+    (no custom VJP); ineligible shapes silently use the XLA path.
+    """
 
     out_channels: int
     kernel_size: int = 5
     n_groups: int = 8
     zero: bool = False
     precision_mode: str = "float"
+    fused: bool = False
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, res: Optional[Array] = None) -> Array:
+        if _fusable(x, self.out_channels, self.kernel_size, self.n_groups,
+                    self.precision_mode, self.fused):
+            from condmdi_tpu.ops.resblock import fused_conv_gn_mish
+
+            kernel, bias = _ConvParams(
+                self.out_channels, self.kernel_size, zero_init=self.zero,
+                name="conv",
+            )(x.shape[-1])
+            g, b = _NormParams(self.out_channels, name="norm")()
+            return fused_conv_gn_mish(
+                x, kernel.astype(x.dtype), bias, g, b, res=res,
+                n_groups=self.n_groups,
+            )
         x = QConv(
             self.out_channels,
             self.kernel_size,
@@ -151,19 +213,36 @@ class Conv1dBlock(nn.Module):
             name="conv",
         )(x)
         x = nn.GroupNorm(num_groups=self.n_groups, epsilon=1e-5, name="norm")(x)
-        return mish(x)
+        x = mish(x)
+        return x if res is None else x + res
 
 
 class Conv1dAdaGNBlock(nn.Module):
-    """Conv → GroupNorm → (1+scale)·x + shift → Mish."""
+    """Conv → GroupNorm → (1+scale)·x + shift → Mish.
+
+    `fused=True`: see Conv1dBlock."""
 
     out_channels: int
     kernel_size: int = 5
     n_groups: int = 8
     precision_mode: str = "float"
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: Array, scale: Array, shift: Array) -> Array:
+        if _fusable(x, self.out_channels, self.kernel_size, self.n_groups,
+                    self.precision_mode, self.fused):
+            from condmdi_tpu.ops.resblock import fused_conv_gn_mish
+
+            kernel, bias = _ConvParams(
+                self.out_channels, self.kernel_size, name="conv"
+            )(x.shape[-1])
+            g, b = _NormParams(self.out_channels, name="norm")()
+            return fused_conv_gn_mish(
+                x, kernel.astype(x.dtype), bias, g, b,
+                scale=scale.astype(x.dtype), shift=shift.astype(x.dtype),
+                n_groups=self.n_groups,
+            )
         x = QConv(
             self.out_channels,
             self.kernel_size,
@@ -222,6 +301,7 @@ class ResidualTemporalBlock(nn.Module):
     adagn: bool = True
     zero: bool = True
     precision_mode: str = "float"
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: Array, t_emb: Array) -> Array:
@@ -235,23 +315,7 @@ class ResidualTemporalBlock(nn.Module):
             name="time_mlp",
         )(mish(t_emb))
 
-        if self.adagn:
-            scale, shift = jnp.split(cond, 2, axis=-1)
-            h = Conv1dAdaGNBlock(
-                self.out_channels, self.kernel_size,
-                precision_mode=self.precision_mode, name="block1"
-            )(x, scale, shift)
-        else:
-            h = Conv1dBlock(
-                self.out_channels, self.kernel_size,
-                precision_mode=self.precision_mode, name="block1"
-            )(x)
-            h = h + cond[:, None, :]
-        h = Conv1dBlock(
-            self.out_channels, self.kernel_size, zero=self.zero,
-            precision_mode=self.precision_mode, name="block2"
-        )(h)
-
+        # residual first so the fused block2 can absorb the add in-VMEM
         if in_channels != self.out_channels:
             res = QConv(
                 self.out_channels, 1, precision_mode=self.precision_mode,
@@ -259,7 +323,26 @@ class ResidualTemporalBlock(nn.Module):
             )(x)
         else:
             res = x
-        return h + res
+
+        if self.adagn:
+            scale, shift = jnp.split(cond, 2, axis=-1)
+            h = Conv1dAdaGNBlock(
+                self.out_channels, self.kernel_size,
+                precision_mode=self.precision_mode, fused=self.fused,
+                name="block1",
+            )(x, scale, shift)
+        else:
+            h = Conv1dBlock(
+                self.out_channels, self.kernel_size,
+                precision_mode=self.precision_mode, fused=self.fused,
+                name="block1",
+            )(x)
+            h = h + cond[:, None, :]
+        return Conv1dBlock(
+            self.out_channels, self.kernel_size, zero=self.zero,
+            precision_mode=self.precision_mode, fused=self.fused,
+            name="block2",
+        )(h, res=res)
 
 
 class TemporalUnet(nn.Module):
@@ -272,6 +355,7 @@ class TemporalUnet(nn.Module):
     zero: bool = True
     added_input_channels: int = 0
     precision_mode: str = "float"
+    fuse_resblocks: bool = False
 
     @nn.compact
     def __call__(self, x: Array, cond: Array) -> Array:
@@ -289,11 +373,13 @@ class TemporalUnet(nn.Module):
             is_last = ind >= n_res - 1
             x = ResidualTemporalBlock(
                 dim_out, adagn=self.adagn, zero=self.zero,
-                precision_mode=self.precision_mode, name=f"down{ind}_res1"
+                precision_mode=self.precision_mode,
+                fused=self.fuse_resblocks, name=f"down{ind}_res1"
             )(x, c)
             x = ResidualTemporalBlock(
                 dim_out, adagn=self.adagn, zero=self.zero,
-                precision_mode=self.precision_mode, name=f"down{ind}_res2"
+                precision_mode=self.precision_mode,
+                fused=self.fuse_resblocks, name=f"down{ind}_res2"
             )(x, c)
             if self.attention:
                 x = x + LinearAttention(name=f"down{ind}_attn")(
@@ -310,7 +396,8 @@ class TemporalUnet(nn.Module):
         mid_dim = dims[-1]
         x = ResidualTemporalBlock(
             mid_dim, adagn=self.adagn, zero=self.zero,
-            precision_mode=self.precision_mode, name="mid_block1"
+            precision_mode=self.precision_mode,
+            fused=self.fuse_resblocks, name="mid_block1"
         )(x, c)
         if self.attention:
             x = x + LinearAttention(name="mid_attn")(
@@ -318,7 +405,8 @@ class TemporalUnet(nn.Module):
             )
         x = ResidualTemporalBlock(
             mid_dim, adagn=self.adagn, zero=self.zero,
-            precision_mode=self.precision_mode, name="mid_block2"
+            precision_mode=self.precision_mode,
+            fused=self.fuse_resblocks, name="mid_block2"
         )(x, c)
 
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out[1:])):
@@ -326,11 +414,13 @@ class TemporalUnet(nn.Module):
             x = jnp.concatenate([x, h.pop()], axis=-1)
             x = ResidualTemporalBlock(
                 dim_in, adagn=self.adagn, zero=self.zero,
-                precision_mode=self.precision_mode, name=f"up{ind}_res1"
+                precision_mode=self.precision_mode,
+                fused=self.fuse_resblocks, name=f"up{ind}_res1"
             )(x, c)
             x = ResidualTemporalBlock(
                 dim_in, adagn=self.adagn, zero=self.zero,
-                precision_mode=self.precision_mode, name=f"up{ind}_res2"
+                precision_mode=self.precision_mode,
+                fused=self.fuse_resblocks, name=f"up{ind}_res2"
             )(x, c)
             if self.attention:
                 x = x + LinearAttention(name=f"up{ind}_attn")(
@@ -348,7 +438,7 @@ class TemporalUnet(nn.Module):
 
         x = Conv1dBlock(
             dims[1], kernel_size=5, precision_mode=self.precision_mode,
-            name="final_block",
+            fused=self.fuse_resblocks, name="final_block",
         )(x)
         x = QConv(
             self.input_dim, 1, zero_init=self.zero,
@@ -378,6 +468,7 @@ class MDM_UNET(nn.Module):
     zero_keyframe_loss: bool = False
     pad_frames_to: int = 224
     precision_mode: str = "float"  # 'float' (bf16/f32) | 'int8' serving path
+    fuse_resblocks: bool = False  # Pallas fused resblock halves (inference)
 
     @property
     def input_feats(self) -> int:
@@ -449,6 +540,7 @@ class MDM_UNET(nn.Module):
             adagn=self.adagn,
             zero=self.zero,
             precision_mode=self.precision_mode,
+            fuse_resblocks=self.fuse_resblocks and not train,
             name="unet",
         )(x, emb)
 

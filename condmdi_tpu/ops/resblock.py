@@ -200,13 +200,23 @@ def supports(B: int, T: int, cin: int, cout: int, k: int, n_groups: int,
     return (T % 8 == 0) or (B * T) % 8 == 0
 
 
+def fused_conv_gn_mish(*args, interpret: Optional[bool] = None, **kw):
+    """One fused Conv1d(k, SAME) → GroupNorm → [AdaGN] → Mish [→ +res].
+
+    `interpret=None` resolves to Pallas interpret mode off-TPU so the same
+    call sites run in CPU tests and compiled on hardware."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _fused_conv_gn_mish(*args, interpret=interpret, **kw)
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "n_groups", "eps", "batch_tile", "interpret",
     ),
 )
-def fused_conv_gn_mish(
+def _fused_conv_gn_mish(
     x: Array,                       # [B, T, Cin]
     w: Array,                       # [k, Cin, Cout]
     b: Array,                       # [Cout]

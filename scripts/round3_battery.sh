@@ -1,0 +1,49 @@
+#!/bin/bash
+# Round-3 post-training TPU battery. Waits for the gate-checkpoint trainer
+# (save/synthetic_unet_m, PID in /tmp/train_m.pid) to finish, then runs the
+# measurement queue sequentially on the freed chip. Logs under /tmp/r3_*.log.
+set -u
+cd /root/repo
+PID=$(cat /tmp/train_m.pid 2>/dev/null || echo "")
+if [ -n "$PID" ]; then
+  while kill -0 "$PID" 2>/dev/null; do sleep 120; done
+fi
+sleep 20
+echo "=== trainer done; battery starts $(date) ==="
+
+echo "--- 1/6 conv suite ---"
+timeout 3600 python scripts/conv_microbench.py --suite unet --iters 800 \
+  > /tmp/r3_conv_suite.log 2>&1
+echo "exit=$? (conv suite)"
+
+echo "--- 2/6 resblock microbench ---"
+timeout 3600 python scripts/resblock_microbench.py --iters 400 \
+  > /tmp/r3_resblock.log 2>&1
+echo "exit=$? (resblock)"
+
+echo "--- 3/6 fid vs steps sweep ---"
+timeout 10800 python scripts/fid_vs_steps.py --run_dir save/synthetic_unet_m \
+  --guidance_param 2.5 --out save/synthetic_unet_m/fid_vs_steps.json \
+  > /tmp/r3_fid_sweep.log 2>&1
+echo "exit=$? (fid sweep)"
+
+echo "--- 4/6 wo_mm protocol bf16 ---"
+timeout 7200 python -m condmdi_tpu.evals.run --eval_mode wo_mm \
+  --edit_mode benchmark_sparse --guidance_param 2.5 --num_samples 64 \
+  --model_path save/synthetic_unet_m/ckpt_000100000 \
+  > /tmp/r3_womm_bf16.log 2>&1
+echo "exit=$? (wo_mm bf16)"
+
+echo "--- 5/6 wo_mm protocol int8_static ---"
+timeout 7200 python -m condmdi_tpu.evals.run --eval_mode wo_mm \
+  --edit_mode benchmark_sparse --guidance_param 2.5 --num_samples 64 \
+  --precision_mode int8_static \
+  --model_path save/synthetic_unet_m/ckpt_000100000 \
+  > /tmp/r3_womm_int8.log 2>&1
+echo "exit=$? (wo_mm int8)"
+
+echo "--- 6/6 headline bench ---"
+timeout 7200 python bench.py > /tmp/r3_bench.log 2>&1
+echo "exit=$? (bench)"
+
+echo "=== battery done $(date) ==="

@@ -90,3 +90,38 @@ def test_supports_predicate():
     assert supports(64, 224, 526, 1024, 5, 8)
     # odd group sizes are not
     assert not supports(64, 56, 1024, 1000, 5, 8)
+
+
+def test_mdm_unet_fused_matches_standard():
+    """Whole-model equivalence: fuse_resblocks=True must reproduce the
+    standard path from the SAME checkpoint (identical param tree)."""
+    from condmdi_tpu.models.unet import MDM_UNET
+
+    B, T, F = 4, 24, 263
+    kw = dict(
+        njoints=F, latent_dim=32, dim_mults=(1, 2),
+        keyframe_conditioned=True, pad_frames_to=24, zero=False,
+    )
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((B, T, F)), np.float32)
+    t = jnp.zeros((B,), jnp.int32)
+    y = {"text_embed": jnp.asarray(rng.standard_normal((B, 512)), np.float32)}
+    obs = dict(obs_x0=x, obs_mask=jnp.zeros((B, T, F), bool).at[:, ::6].set(True))
+
+    base = MDM_UNET(**kw)
+    params = base.init(jax.random.key(0), x, t, y, **obs)
+    want = base.apply(params, x, t, y, **obs)
+
+    fused = MDM_UNET(**kw, fuse_resblocks=True)
+    # identical tree: the fused path declares the same params
+    p2 = fused.init(jax.random.key(0), x, t, y, **obs)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(p2)
+    got = fused.apply(params, x, t, y, **obs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
+
+    # train=True must fall back to the differentiable XLA path
+    got_train = fused.apply(
+        params, x, t, y, **obs, train=True,
+        rngs={"cond_mask": jax.random.key(1)},
+    )
+    assert np.isfinite(np.asarray(got_train)).all()
