@@ -92,6 +92,7 @@ def test_supports_predicate():
     assert not supports(64, 56, 1024, 1000, 5, 8)
 
 
+@pytest.mark.slow
 def test_mdm_unet_fused_matches_standard():
     """Whole-model equivalence: fuse_resblocks=True must reproduce the
     standard path from the SAME checkpoint (identical param tree)."""
