@@ -42,8 +42,17 @@ timeout 7200 python -m condmdi_tpu.evals.run --eval_mode wo_mm \
   > /tmp/r3_womm_int8.log 2>&1
 echo "exit=$? (wo_mm int8)"
 
-echo "--- 6/6 headline bench ---"
+echo "--- 6/8 headline bench ---"
 timeout 7200 python bench.py > /tmp/r3_bench.log 2>&1
 echo "exit=$? (bench)"
+
+echo "--- 7/8 bf16 UNet fused-resblock end-to-end ---"
+BENCH_MODEL=unet BENCH_FUSED=1 timeout 7200 python bench.py \
+  > /tmp/r3_bench_fused.log 2>&1
+echo "exit=$? (bench fused)"
+
+echo "--- 8/8 bf16 UNet unfused control ---"
+BENCH_MODEL=unet timeout 7200 python bench.py > /tmp/r3_bench_bf16.log 2>&1
+echo "exit=$? (bench bf16)"
 
 echo "=== battery done $(date) ==="
