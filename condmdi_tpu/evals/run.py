@@ -160,6 +160,10 @@ def main(argv=None):
         "seed": args.seed,
         "use_ema": getattr(args, "use_ema", True),
         "devices": ndev,
+        # bit-exact re-derivation is only expected on the same backend; a
+        # cross-platform rerun (tpu-committed report re-checked on cpu CI)
+        # inherits bf16-vs-f32 drift through the 1000-step scan
+        "platform": jax.devices()[0].platform,
     })
     return summary
 
