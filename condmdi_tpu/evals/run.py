@@ -48,6 +48,30 @@ def main(argv=None):
 
     model, params, sched, dcfg = load_model_for_sampling(args)
 
+    # Guard (round-3 post-mortem): a model built without keyframe
+    # conditioning accepts-and-ignores obs_x0/obs_mask (models/unet.py
+    # keyframe_conditioned branch), so the keyframe protocol would silently
+    # measure an unconditioned sampler — exactly what invalidated the
+    # round-3 quality artifacts (its gate checkpoint was trained with
+    # keyframe_conditioned=false). Refuse unless explicitly overridden for
+    # an ablation baseline.
+    model_kc = bool(getattr(model, "keyframe_conditioned", False))
+    if not model_kc and args.edit_mode != "uncond":
+        if not getattr(args, "allow_unconditioned", False):
+            raise SystemExit(
+                "evals.run: --model_path points at a model trained WITHOUT "
+                "keyframe conditioning (args.json keyframe_conditioned=false); "
+                "it ignores obs_x0/obs_mask, so keyframe-protocol metrics "
+                "would be meaningless. Train with --keyframe_conditioned true, "
+                "or pass --allow_unconditioned true to record an explicit "
+                "unconditioned baseline (meta will mark it)."
+            )
+        print(
+            "WARNING: evaluating an UNCONDITIONED model under the keyframe "
+            "protocol (--allow_unconditioned) — keyframe metrics are a "
+            "no-conditioning baseline, not model performance."
+        )
+
     enc = make_text_encoder(args)
     ds_rel, ds_abs, gt_batches, synthetic_data = load_eval_datasets(args, T, B, enc)
 
@@ -87,6 +111,7 @@ def main(argv=None):
         editable_features=args.editable_features,
         n_keyframes=args.n_keyframes,
         guidance_param=args.guidance_param,
+        drop_observations=getattr(args, "drop_observations", False),
         replication_times=mode["replication_times"],
         run_mm=mode["run_mm"],
         mm_num_times=mode["mm_num_times"],
@@ -137,6 +162,8 @@ def main(argv=None):
     )
     out_dir.mkdir(parents=True, exist_ok=True)
     suffix = "" if pmode == "float" else f"_{pmode}"
+    if getattr(args, "drop_observations", False):
+        suffix += "_dropobs"
     log_file = out_dir / f"eval_{args.edit_mode}_{args.eval_mode}{suffix}.json"
     summary = evaluation(
         evaluator, gt_batches, generate_fn, cfg, vec, str(log_file),
@@ -153,6 +180,8 @@ def main(argv=None):
         "edit_mode": args.edit_mode,
         "replications": mode["replication_times"],
         "model_path": args.model_path,
+        "model_keyframe_conditioned": model_kc,
+        "drop_observations": getattr(args, "drop_observations", False),
         "precision_mode": pmode,
         # enough to re-derive any single replication (tests/test_report_repro)
         "guidance_param": args.guidance_param,

@@ -172,11 +172,37 @@ def _kernel(
 # --------------------------------------------------------------------------- #
 # Host wrapper
 # --------------------------------------------------------------------------- #
-def _pick_batch_tile(B: int, T: int, cin: int, itemsize: int) -> int:
-    """Largest divisor of B keeping the x tile ≤ ~4 MB."""
-    budget = 4 * 1024 * 1024
+def _vmem_estimate(bt: int, T: int, cin: int, co_tile: int, k: int,
+                   has_res: bool) -> int:
+    """Rough per-grid-step VMEM residency (f32 bytes) of _kernel.
+
+    Counts the x tile, the streamed weight tile, the ~6 live [Mb, co_tile]
+    f32 temporaries the body materializes (acc, y, t_row/mask, mean/rstd row
+    broadcasts, h), the two [Bt, Mb] segment matrices, and the out/res
+    tiles. Mosaic's scoped-vmem limit is 16 MB; round 4 found the old
+    x-only 4 MB budget overflowing it by ~5% at cin=cout=1024 (bench leg 7
+    VMEM OOM on v5e), so the picker now budgets the whole working set."""
+    Mb = bt * T
+    est = Mb * cin * 4                      # x tile
+    est += k * cin * co_tile * 4            # w tile
+    est += 6 * Mb * co_tile * 4             # body temporaries
+    est += 2 * bt * Mb * 4                  # S_red / S_bcast
+    est += Mb * co_tile * 4                 # out tile
+    if has_res:
+        est += Mb * co_tile * 4
+    return est
+
+
+def _pick_batch_tile(B: int, T: int, cin: int, co_tile: int, k: int,
+                     has_res: bool) -> int:
+    """Largest divisor of B whose estimated working set fits well under the
+    16 MB scoped-vmem limit (12 MB budget leaves headroom for Mosaic's own
+    spills/double-buffering)."""
+    budget = 12 * 1024 * 1024
     bt = B
-    while bt > 1 and (bt * T * cin * itemsize > budget or B % bt):
+    while bt > 1 and (
+        _vmem_estimate(bt, T, cin, co_tile, k, has_res) > budget or B % bt
+    ):
         bt -= 1
     while B % bt:
         bt -= 1
@@ -242,7 +268,7 @@ def _fused_conv_gn_mish(
         co_tile = cout
     n_co = cout // co_tile
 
-    Bt = batch_tile or _pick_batch_tile(B, T, cin, x.dtype.itemsize)
+    Bt = batch_tile or _pick_batch_tile(B, T, cin, co_tile, k, res is not None)
     Mb = Bt * T
     n_b = B // Bt
 

@@ -74,7 +74,14 @@ def dp_sample(
     inpaint = shard_sample_inputs(mesh, B, inpaint) if inpaint is not None else None
     rng = jax.device_put(rng, NamedSharding(mesh, P()))
 
-    cache_key = (id(mesh), shape, float(guidance_param),
+    # key the cache on the mesh's VALUE, not id() — ids are reused after GC,
+    # so an id-keyed entry could serve a jitted fn closed over a dead mesh
+    # (VERDICT r3 weak #6)
+    mesh_key = (
+        tuple(mesh.shape.items()),
+        tuple(d.id for d in mesh.devices.flat),
+    )
+    cache_key = (mesh_key, shape, float(guidance_param),
                  obs_x0 is not None, noise is not None, inpaint is not None)
     cache = getattr(pipe, "_dp_jit_cache", None)
     if cache is None:

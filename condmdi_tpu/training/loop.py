@@ -254,6 +254,7 @@ def make_chained_train_step(
     sched: DiffusionSchedule,
     dcfg: DiffusionConfig,
     tcfg: TrainConfig,
+    mesh=None,
 ):
     """K train steps per host dispatch, as ONE lax.scan over the step.
 
@@ -265,10 +266,30 @@ def make_chained_train_step(
     compute (~3 ms for the latent-128 gate config). No reference
     equivalent (the reference is a per-step eager loop).
 
+    `mesh`: optional jax.sharding.Mesh — the gathered per-step batch is then
+    constrained to batch-dim 'dp' sharding inside the scan body, so the
+    chained path data-parallelizes exactly like the single-step path
+    (host-side shard_batch can't reach batches materialized on device).
+
     Returns jitted (state, data, idx [K,B], rng) -> (state, metrics) with
     metrics averaged over the K steps (loss also reported as `loss_last`).
     """
     step = make_train_step(apply_fn, sched, dcfg, tcfg, raw=True)
+
+    batch_constraint = None
+    if mesh is not None and mesh.devices.size > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from condmdi_tpu.parallel.mesh import DATA_AXIS
+
+        dp = NamedSharding(mesh, PartitionSpec(DATA_AXIS))
+
+        def batch_constraint(batch):
+            return jax.tree_util.tree_map(
+                lambda a: jax.lax.with_sharding_constraint(a, dp)
+                if getattr(a, "ndim", 0) >= 1 else a,
+                batch,
+            )
 
     def chained(state: TrainState, data: dict, idx: Array, rng: Array):
         K = idx.shape[0]
@@ -276,6 +297,8 @@ def make_chained_train_step(
         def body(carry, inp):
             i, r = inp
             batch = jax.tree_util.tree_map(lambda a: a[i], data)
+            if batch_constraint is not None:
+                batch = batch_constraint(batch)
             return step(carry, batch, r)
 
         rngs = jax.random.split(rng, K)

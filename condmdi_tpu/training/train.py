@@ -295,7 +295,9 @@ class TrainLoop:
         from condmdi_tpu.training.loop import make_chained_train_step
 
         apply_fn, sched, dcfg = self._step_builder_args
-        chained = make_chained_train_step(apply_fn, sched, dcfg, self.tcfg)
+        chained = make_chained_train_step(
+            apply_fn, sched, dcfg, self.tcfg, mesh=self.mesh
+        )
         data, n = self.device_data
         B = self.args.batch_size
         refresh = (

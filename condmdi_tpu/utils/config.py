@@ -232,6 +232,17 @@ class EvaluationOptions:
     # Lets a repro test re-derive replication 0 of a committed 20-rep report
     # without paying for all 20 (same seeds → same values).
     max_replications: int = 0
+    # evals.run guard (round-3 post-mortem): the CondMDI keyframe protocol
+    # silently evaluated a model trained WITHOUT keyframe conditioning — the
+    # obs_x0/obs_mask kwargs are ignored by such a model, so every keyframe
+    # metric was measuring an unconditioned sampler. The protocol now refuses
+    # unless this is set (legitimate only for ablation baselines, and the
+    # report meta records it).
+    allow_unconditioned: bool = False
+    # ablation run: zero the observation mask fed to the model (metrics are
+    # still computed on the edit-mode keyframes) — quantifies how much the
+    # conditioning pathway is causally used
+    drop_observations: bool = False
 
 
 # --------------------------------------------------------------------------- #

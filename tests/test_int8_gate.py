@@ -27,10 +27,25 @@ import jax.numpy as jnp
 
 from condmdi_tpu.utils.checkpoint import latest_checkpoint
 
-# prefer the round-3 wide-margin checkpoint (latent-128, 100k steps, EMA
-# horizon matched); fall back to the round-2 latent-64 one
+# prefer the latent-128 gate checkpoint; fall back to the round-2 latent-64
+# one. Only KEYFRAME-CONDITIONED runs qualify (round-3 post-mortem: the
+# preferred checkpoint had been trained with keyframe_conditioned=false and
+# would have silently turned this gate into an unconditioned baseline).
 _SAVE = Path(__file__).resolve().parent.parent / "save"
-CKPT = latest_checkpoint(_SAVE / "synthetic_unet_m") or latest_checkpoint(
+
+
+def _conditioned_ckpt(run_dir: Path):
+    import json
+
+    args_json = run_dir / "args.json"
+    if not args_json.exists():
+        return None
+    if not json.loads(args_json.read_text()).get("keyframe_conditioned", False):
+        return None
+    return latest_checkpoint(run_dir)
+
+
+CKPT = _conditioned_ckpt(_SAVE / "synthetic_unet_m") or _conditioned_ckpt(
     _SAVE / "synthetic_unet_s"
 )
 

@@ -22,9 +22,36 @@ _RUN = Path(__file__).resolve().parent.parent / "save" / "synthetic_unet_m"
 BF16 = _RUN / "eval_benchmark_sparse_wo_mm.json"
 INT8 = _RUN / "eval_benchmark_sparse_wo_mm_int8_static.json"
 
-pytestmark = pytest.mark.skipif(
+def _bench_headline_is_int8() -> bool:
+    """bench.py's default headline mode (BENCH_MODEL unset)."""
+    import re
+
+    src = (Path(__file__).resolve().parent.parent / "bench.py").read_text()
+    m = re.search(r'os\.environ\.get\("BENCH_MODEL",\s*"([^"]+)"\)', src)
+    return bool(m) and "int8" in m.group(1)
+
+
+def test_int8_headline_requires_protocol_artifacts():
+    """VERDICT r3 #2: a gate that skips is not a gate. If bench.py's default
+    headline is the int8 path, BOTH wo_mm protocol reports (bf16 + int8)
+    must exist — their absence FAILS the suite instead of silently skipping
+    the delta checks below."""
+    if not _bench_headline_is_int8():
+        pytest.skip("bench headline is not int8 — protocol delta gate not required")
+    missing = [p.name for p in (BF16, INT8) if not p.exists()]
+    assert not missing, (
+        f"bench.py headlines int8 but the wo_mm protocol artifacts {missing} "
+        f"are absent under {_RUN} — run scripts/round4_battery.sh legs 2-3 "
+        "(or demote the headline to bf16)"
+    )
+
+
+# the delta checks themselves still need both artifacts present
+_delta_mark = pytest.mark.skipif(
     not (BF16.exists() and INT8.exists()),
-    reason="committed bf16+int8 wo_mm protocol reports absent",
+    reason="committed bf16+int8 wo_mm protocol reports absent "
+    "(their required presence is enforced by "
+    "test_int8_headline_requires_protocol_artifacts)",
 )
 
 
@@ -38,6 +65,7 @@ def _mean(report, key, idx=None):
     return m[idx] if idx is not None else m
 
 
+@_delta_mark
 def test_reports_are_same_protocol():
     b, q = _load(BF16), _load(INT8)
     for k in ("eval_mode", "edit_mode", "model_path", "guidance_param",
@@ -49,6 +77,7 @@ def test_reports_are_same_protocol():
     assert b["meta"]["evaluator"] != "random_init"
 
 
+@_delta_mark
 def test_int8_metric_deltas_within_gate():
     b, q = _load(BF16), _load(INT8)
 
@@ -79,6 +108,7 @@ def test_int8_metric_deltas_within_gate():
     assert rp_q >= rp_b - 0.05, (rp_b, rp_q)
 
 
+@_delta_mark
 def test_bf16_numbers_are_discriminative():
     """The gate checkpoint itself must clear chance through the trained
     evaluator — otherwise the delta gate above is vacuous (a model whose

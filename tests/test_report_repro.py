@@ -36,14 +36,23 @@ class TestCommittedReportRepro:
 
         from condmdi_tpu.evals.run import main
 
+        # resolve the checkpoint against the repo root (ADVICE r3: meta
+        # stores a repo-relative path; run from another cwd the silent
+        # random-init fallback would produce a confusing metric mismatch)
+        ckpt = Path(meta["model_path"])
+        if not ckpt.is_absolute():
+            ckpt = _SAVE.parent / ckpt
+        assert ckpt.exists(), f"committed report's checkpoint missing: {ckpt}"
+
         argv = [
             "--eval_mode", "wo_mm",
             "--max_replications", "1",
-            "--model_path", meta["model_path"],
+            "--model_path", str(ckpt),
             "--edit_mode", meta.get("edit_mode", "benchmark_sparse"),
             "--guidance_param", str(meta.get("guidance_param", 1.0)),
             "--num_samples", str(meta.get("num_samples", 64)),
             "--use_ema", str(meta.get("use_ema", True)).lower(),
+            "--seed", str(meta.get("seed", 10)),
             "--output_dir", str(tmp_path),
         ]
         if meta.get("precision_mode", "float") != "float":
@@ -52,7 +61,11 @@ class TestCommittedReportRepro:
 
         import jax
 
-        same_platform = meta.get("platform", "cpu") == jax.devices()[0].platform
+        if "platform" not in meta:
+            # ADVICE r3: guessing "cpu" for legacy reports silently weakens
+            # (or falsely tightens) the tolerance — skip instead
+            pytest.skip("report predates platform recording")
+        same_platform = meta["platform"] == jax.devices()[0].platform
         # Same backend: identical seeds → fp-reassociation tolerance only.
         # Cross-platform (tpu-committed report re-derived on cpu CI): the
         # bf16-vs-f32 difference compounds through the 1000-step sampling
