@@ -176,7 +176,13 @@ def verify_trajectory(which: str, B: int = 2, n_steps: int = 20) -> np.ndarray:
             noise=noise, sampler=SamplerConfig(method="ddim"),
         )
 
-    out = np.asarray(run(params, y, obs_x0, obs_mask, noise))
+    # TPU f32 matmuls/convs default to bf16 operand passes — enough drift
+    # over 20 DDIM steps to blow a 5e-3 max-abs golden check (round-4 leg 7
+    # false MISMATCH at 1.9e-2). The verify path is about correctness, not
+    # speed: force full-f32 operand precision so the only remaining delta is
+    # cross-backend reduction order.
+    with jax.default_matmul_precision("highest"):
+        out = np.asarray(run(params, y, obs_x0, obs_mask, noise))
     return out[:, ::7, ::13].astype(np.float64)  # (B, 28, 21) checksum slice
 
 
