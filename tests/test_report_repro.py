@@ -1,11 +1,12 @@
 """Committed eval reports must stay re-derivable (VERDICT r2 weak #8/#10).
 
-Re-runs replication 0 of the committed wo_mm protocol reports with the same
-seeds/model/evaluator and matches the stored per-replication values — a
-silent harness regression can no longer leave a stale-but-plausible report
-in-tree. Covers both gate checkpoints when present (the round-2 unet_s
-report predates per-replication storage and is skipped; the round-3 unet_m
-bf16 + int8_static reports carry it).
+Re-runs replication 0 of EVERY committed CondMDI-protocol report
+(auto-discovered under save/synthetic_unet_*/eval_benchmark_sparse_*.json:
+wo_mm bf16/int8, guidance-pinned copies, drop-observation ablations,
+mm_short) with the same seeds/model/evaluator and matches the stored
+per-replication values — a silent harness regression can no longer leave a
+stale-but-plausible report in-tree. Reports predating per-replication or
+platform recording are skipped.
 """
 
 import json
@@ -17,11 +18,15 @@ import pytest
 pytestmark = pytest.mark.slow  # protocol-scale; fast gate skips
 
 _SAVE = Path(__file__).resolve().parent.parent / "save"
-REPORTS = [
-    _SAVE / "synthetic_unet_s" / "eval_benchmark_sparse_wo_mm.json",
-    _SAVE / "synthetic_unet_m" / "eval_benchmark_sparse_wo_mm.json",
-    _SAVE / "synthetic_unet_m" / "eval_benchmark_sparse_wo_mm_int8_static.json",
-]
+# every committed CondMDI-protocol report, auto-discovered (VERDICT r3 weak
+# #4: the repro net must cover all committed reports, not a hand-kept pair).
+# fid_vs_steps.json has its own format and is re-derived via the sweep
+# script; the eval_out/ debug reports belong to the legacy harnesses.
+REPORTS = sorted(
+    p
+    for run in ("synthetic_unet_s", "synthetic_unet_m")
+    for p in (_SAVE / run).glob("eval_benchmark_sparse_*.json")
+)
 
 
 class TestCommittedReportRepro:
@@ -44,8 +49,13 @@ class TestCommittedReportRepro:
             ckpt = _SAVE.parent / ckpt
         assert ckpt.exists(), f"committed report's checkpoint missing: {ckpt}"
 
+        # replication seeds depend only on (seed, rep, batch) — never the
+        # eval mode — so an mm_short report's non-mm metrics re-derive
+        # identically under debug mode without paying for the 30×10
+        # multimodality sampling (which this test does not compare)
+        emode = meta.get("eval_mode", "wo_mm")
         argv = [
-            "--eval_mode", "wo_mm",
+            "--eval_mode", "debug" if emode == "mm_short" else emode,
             "--max_replications", "1",
             "--model_path", str(ckpt),
             "--edit_mode", meta.get("edit_mode", "benchmark_sparse"),
@@ -57,6 +67,10 @@ class TestCommittedReportRepro:
         ]
         if meta.get("precision_mode", "float") != "float":
             argv += ["--precision_mode", meta["precision_mode"]]
+        if meta.get("drop_observations"):
+            argv += ["--drop_observations", "true"]
+        if not meta.get("model_keyframe_conditioned", True):
+            argv += ["--allow_unconditioned", "true"]
         summary = main(argv)
 
         import jax
