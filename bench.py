@@ -186,6 +186,17 @@ def verify_trajectory(which: str, B: int = 2, n_steps: int = 20) -> np.ndarray:
     return out[:, ::7, ::13].astype(np.float64)  # (B, 28, 21) checksum slice
 
 
+def golden_name(which: str) -> str:
+    """Golden family for a bench config: int8 variants verify against the
+    float golden; a non-default BENCH_PAD gets its own golden (the pad
+    changes the UNet's interior shapes, hence the trajectory)."""
+    fam = which.split("_int8")[0] if "int8" in which else which
+    pad = os.environ.get("BENCH_PAD", "224")
+    if pad != "224" and not fam.startswith("mdm"):
+        fam += f"_pad{pad}"
+    return fam
+
+
 def check_against_golden(which: str, slice_: np.ndarray, atol: float):
     """(ok, err) vs the committed CPU golden; (None, None) if absent.
 
@@ -195,7 +206,7 @@ def check_against_golden(which: str, slice_: np.ndarray, atol: float):
     criterion instead of max-abs.
     """
     int8 = "int8" in which
-    path = GOLDEN_PATH.format(which=which.split("_int8")[0] if int8 else which)
+    path = GOLDEN_PATH.format(which=golden_name(which))
     if not os.path.exists(path):
         return None, None
     with open(path) as f:
@@ -277,8 +288,6 @@ def main() -> None:
     # short deterministic f32 sampler and compared against the committed CPU
     # golden (VERDICT r1 weak #3: tie the benched program to correct output)
     verify_mode = os.environ.get("BENCH_VERIFY", "1")
-    if os.environ.get("BENCH_PAD", "224") != "224":
-        verify_mode = "0"  # goldens are generated at the default pad
     verified = None
     if verify_mode != "0":
         try:

@@ -181,6 +181,16 @@ def generate_eval_batch(
 
     stats = abs_stats if model_is_abs else rel_stats
     cur_joints = np.asarray(sample_to_motion(sample, stats))
+    if not np.isfinite(cur_joints).all():
+        # fail HERE with the cause, not 200 lines later inside scipy's
+        # matching-score norm (round-4 battery leg 4: int8_static sampling
+        # diverged under CFG and the crash pointed at the evaluator)
+        raise FloatingPointError(
+            "generated motions are non-finite — the sampling scan diverged "
+            "(int8 activation-scale clipping under CFG extrapolation, or an "
+            "unstable guidance setting). See ops/quant.py "
+            "calibrate_act_scales_trajectory."
+        )
     gt_joints = np.asarray(sample_to_motion(motion_abs, stats)) if model_is_abs else (
         np.asarray(sample_to_motion(motion_rel, rel_stats))
     )

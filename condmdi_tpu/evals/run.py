@@ -77,25 +77,43 @@ def main(argv=None):
 
     # int8 protocol runs (VERDICT r3 #3b: gate int8 promotion on FULL
     # wo_mm metric deltas, not keyframe error alone). 'int8_static' needs
-    # calibrated activation scales; calibrate exactly as bench.py and the
-    # gate test do — q_sample of a GT batch across the t range — so the
-    # evaluated program IS the benched program.
+    # calibrated activation scales. Round 4 switched from q_sample probing
+    # to TRAJECTORY calibration: at guidance > 1 the CFG extrapolation
+    # pushes the reverse-process x_t outside the forward marginals, the
+    # q_sample-calibrated ranges clip, and the 1000-step scan diverged to
+    # inf (battery leg 4 NaN crash). The calibration now runs one full
+    # dynamic-int8 sampling pass at the protocol guidance with the
+    # serving-shaped conditioning (abs-space obs, sparse edit-mode mask)
+    # and freezes the ranges that trajectory actually visits.
     pmode = getattr(args, "precision_mode", "float")
     if pmode in ("int8_static", "int8_prequant"):
         import jax.numpy as jnp
 
-        from condmdi_tpu.ops.quant import calibrate_act_scales, quantize_params_tree
+        from condmdi_tpu.data.convert import rel_to_abs3d
+        from condmdi_tpu.ops.quant import (
+            calibrate_act_scales_trajectory,
+            quantize_params_tree,
+        )
+        from condmdi_tpu.training.keyframes import get_keyframes_mask
 
         b0 = gt_batches[0]
-        x0_cal = jnp.asarray(b0["motion"])
-        params = calibrate_act_scales(
-            model, params, sched, x0_cal,
+        motion_rel = jnp.asarray(b0["motion"])
+        motion_abs = rel_to_abs3d(motion_rel, ds_rel.stats, ds_abs.stats)
+        cal_mask = get_keyframes_mask(
+            jax.random.key(args.seed), jnp.asarray(b0["lengths"]), T,
+            edit_mode=args.edit_mode, trans_length=args.transition_length,
+            feature_mode=args.editable_features, n_keyframes=args.n_keyframes,
+        ) & jnp.asarray(b0["time_mask"])[..., None]
+        params = calibrate_act_scales_trajectory(
+            model, params, sched, dcfg, motion_rel.shape,
             {"text_embed": jnp.asarray(b0["text_embed"])},
-            obs_x0=x0_cal, obs_mask=jnp.ones(x0_cal.shape, bool),
+            guidance_param=args.guidance_param,
+            obs_x0=motion_abs, obs_mask=cal_mask, seed=args.seed,
         )
         if pmode == "int8_prequant":
             params = {**params, "params": quantize_params_tree(params["params"])}
-        print(f"eval sampling: precision_mode={pmode} (act scales calibrated)")
+        print(f"eval sampling: precision_mode={pmode} "
+              "(act scales trajectory-calibrated)")
 
     def apply_fn(x, t, y, **kw):
         return model.apply(params, x, t, y, **kw)

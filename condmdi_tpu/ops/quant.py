@@ -153,6 +153,137 @@ def int8_matmul(x: Array, kernel: Array, bias: Array | None = None) -> Array:
     return out
 
 
+def calibrate_act_scales_trajectory(
+    model,
+    params: Any,
+    sched,
+    dcfg,
+    shape: tuple,
+    y: dict,
+    *,
+    guidance_param: float = 1.0,
+    obs_x0: Array | None = None,
+    obs_mask: Array | None = None,
+    seed: int = 100,
+    headroom: float = 1.25,
+) -> Any:
+    """Serving-distribution calibration for `precision_mode='int8_static'`.
+
+    `calibrate_act_scales` (below) probes q_sample(x0, t) states — the
+    FORWARD-process marginals. But the serving program is the REVERSE
+    process under classifier-free guidance: at guidance > 1 the CFG
+    extrapolation pushes intermediate x_t outside the forward marginals,
+    activations clip against the q_sample-calibrated ranges, the biased eps
+    feeds back, and the 1000-step scan diverges to inf (round-4 battery
+    leg 4: the int8_static wo_mm run at guidance 2.5 produced non-finite
+    motions; reference protocol eval_humanml_condmdi.py:215-332).
+
+    This variant records activation ranges along the ACTUAL sampling
+    trajectory: one full DDPM run at the serving guidance with the
+    act-scale running-max pytree threaded through the scan carry. Each step
+    applies the model with `mutable=['act_scale']` — in that branch QConv
+    computes with DYNAMIC int8 quantization (models/unet.py int8_static
+    mutable path), so the trajectory is the dynamic-int8 sampler's, a close
+    proxy for the static-scale serving trajectory. `headroom` multiplies
+    the recorded maxima at freeze time to absorb the residual
+    static-vs-dynamic trajectory drift (costs <0.4 bit of resolution at
+    1.25x).
+
+    Returns `{'params': ..., 'act_scale': ...}` ready for `model.apply`.
+    """
+    import numpy as np
+
+    from condmdi_tpu.diffusion.gaussian import p_mean_variance
+    from condmdi_tpu.diffusion.sampling import _nonzero_mask
+
+    B = shape[0]
+    p = params["params"] if "params" in params else params
+    cfg_doubled = guidance_param != 1.0
+
+    obs_kw = {}
+    if obs_x0 is not None:
+        if cfg_doubled:
+            obs_kw = dict(
+                obs_x0=jnp.concatenate([obs_x0, obs_x0], axis=0),
+                obs_mask=jnp.concatenate([obs_mask, obs_mask], axis=0),
+            )
+        else:
+            obs_kw = dict(obs_x0=obs_x0, obs_mask=obs_mask)
+
+    if cfg_doubled:
+        y2 = dict(y)
+        for k, v in y.items():
+            if isinstance(v, jax.Array) and v.ndim >= 1 and v.shape[0] == B:
+                y2[k] = jnp.concatenate([v, v], axis=0)
+        y2["uncond"] = jnp.concatenate(
+            [jnp.zeros((B,), bool), jnp.ones((B,), bool)], axis=0
+        )
+    else:
+        y2 = y
+
+    def apply_mut(scales, x_t, t_model):
+        variables = {"params": p}
+        if scales is not None:
+            variables["act_scale"] = scales
+        if cfg_doubled:
+            x2 = jnp.concatenate([x_t, x_t], axis=0)
+            t2 = jnp.concatenate([t_model, t_model], axis=0)
+            out, upd = model.apply(
+                variables, x2, t2, y2, mutable=["act_scale"], **obs_kw
+            )
+            out_cond, out_uncond = out[:B], out[B:]
+            out = out_uncond + guidance_param * (out_cond - out_uncond)
+        else:
+            out, upd = model.apply(
+                variables, x_t, t_model, y2, mutable=["act_scale"], **obs_kw
+            )
+        return out, upd["act_scale"]
+
+    # seed the collection structure (zeros) with one apply at pure noise
+    rng0 = jax.random.key(seed)
+    x_T = jax.random.normal(rng0, shape)
+    tT = jnp.full((B,), sched.num_timesteps - 1, jnp.int32)
+    _, scales0 = apply_mut(None, x_T, sched.model_t(tT))
+    scales0 = jax.tree_util.tree_map(jnp.zeros_like, scales0)
+
+    @jax.jit
+    def run(scales0, x_init, rng):
+        def body(carry, i):
+            x, scales, rng = carry
+            rng, nrng = jax.random.split(rng)
+            t = jnp.full((B,), i, jnp.int32)
+            box = {}
+
+            def denoise(x_t, t_model):
+                out, new_scales = apply_mut(scales, x_t, t_model)
+                box["s"] = new_scales
+                return out
+
+            out = p_mean_variance(denoise, sched, dcfg, x, t)
+            z = jax.random.normal(nrng, x.shape, x.dtype)
+            sample = out["mean"] + _nonzero_mask(t, x.ndim) * jnp.exp(
+                0.5 * out["log_variance"]
+            ) * z
+            return (sample, box["s"], rng), None
+
+        ts = jnp.arange(sched.num_timesteps - 1, -1, -1)
+        (x, scales, _), _ = jax.lax.scan(body, (x_init, scales0, rng), ts)
+        return x, scales
+
+    x_fin, scales = run(scales0, x_T, rng0)
+    if not bool(np.isfinite(np.asarray(x_fin)).all()):
+        import warnings
+
+        warnings.warn(
+            "calibration trajectory (dynamic int8) is itself non-finite at "
+            f"guidance {guidance_param} — int8 serving at this guidance is "
+            "numerically unstable; use bf16 or a lower guidance",
+            stacklevel=2,
+        )
+    scales = jax.tree_util.tree_map(lambda a: a * headroom, scales)
+    return {"params": p, "act_scale": scales}
+
+
 def calibrate_act_scales(
     model,
     params: Any,

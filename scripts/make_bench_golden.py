@@ -28,12 +28,14 @@ def main():
     # no int8 golden by default: bench verifies int8 configs against the
     # same-family FLOAT golden (check_against_golden strips '_int8'), and
     # int8 conv on XLA CPU is impractically slow to generate
+    # BENCH_PAD-sensitive: with BENCH_PAD set (e.g. 200) the golden is
+    # written under the pad-suffixed family name bench.golden_name() reads
     whichs = sys.argv[1:] or ["unet", "mdm"]
     out_dir = os.path.join(os.path.dirname(bench.GOLDEN_PATH.format(which="x")))
     os.makedirs(out_dir, exist_ok=True)
     for which in whichs:
         slice_ = bench.verify_trajectory(which)
-        path = bench.GOLDEN_PATH.format(which=which)
+        path = bench.GOLDEN_PATH.format(which=bench.golden_name(which))
         with open(path, "w") as f:
             json.dump(
                 {

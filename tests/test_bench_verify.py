@@ -24,11 +24,12 @@ import bench  # noqa: E402
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("which", ["unet", "mdm"])
-def test_cpu_golden_reproduces(which):
-    path = Path(bench.GOLDEN_PATH.format(which=which))
+@pytest.mark.parametrize("which,pad", [("unet", "224"), ("mdm", "224"), ("unet", "200")])
+def test_cpu_golden_reproduces(which, pad, monkeypatch):
+    monkeypatch.setenv("BENCH_PAD", pad)
+    path = Path(bench.GOLDEN_PATH.format(which=bench.golden_name(which)))
     if not path.exists():
-        pytest.skip(f"golden for {which} not generated")
+        pytest.skip(f"golden for {bench.golden_name(which)} not generated")
     golden = np.asarray(json.loads(path.read_text())["slice"])
     got = bench.verify_trajectory(which)
     assert got.shape == golden.shape

@@ -85,15 +85,22 @@ def _sample(args, batch, B, T, precision_mode, drop_obs=False):
     model, params, sched, dcfg = load_model_for_sampling(args)
 
     if precision_mode == "int8_static":
-        # calibrate activation scales over the x_t range the sampler
-        # traverses — the SHARED helper used by bench.py and evals.run
-        from condmdi_tpu.ops.quant import calibrate_act_scales
+        # trajectory calibration — the SAME method evals.run uses for the
+        # protocol reports (round 4: q_sample-probed ranges clip under CFG
+        # extrapolation; ranges are recorded along an actual dynamic-int8
+        # sampling trajectory instead)
+        from condmdi_tpu.ops.quant import calibrate_act_scales_trajectory
 
         x0_cal = jnp.asarray(batch["motion"])
-        params = calibrate_act_scales(
-            model, params, sched, x0_cal,
+        cal_mask = get_keyframes_mask(
+            jax.random.key(7), jnp.asarray(batch["lengths"]), T,
+            edit_mode="benchmark_sparse", trans_length=10,
+        ) & jnp.asarray(batch["time_mask"])[..., None]
+        params = calibrate_act_scales_trajectory(
+            model, params, sched, dcfg, (B, T, 263),
             {"text_embed": jnp.asarray(batch["text_embed"])},
-            obs_x0=x0_cal, obs_mask=jnp.ones(x0_cal.shape, bool),
+            guidance_param=float(args.guidance_param),
+            obs_x0=x0_cal, obs_mask=cal_mask,
         )
 
     def apply_fn(x, t, y, **kw):

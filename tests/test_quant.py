@@ -303,3 +303,93 @@ class TestInt8Prequant:
         flat = jax.tree_util.tree_flatten_with_path(qtree)[0]
         ups = [p for p, _ in flat if any("upsample" in str(k) for k in p)]
         assert ups and all("kernel_q" not in str(p) for p in ups)
+
+
+class TestTrajectoryCalibration:
+    """calibrate_act_scales_trajectory: scales recorded along an actual
+    CFG-guided dynamic-int8 sampling trajectory (the serving distribution),
+    not q_sample forward marginals (round 4: those clip under CFG
+    extrapolation and the 1000-step protocol scan diverged to inf)."""
+
+    def test_records_finite_scales_and_serving_stays_finite(self):
+        from condmdi_tpu.diffusion import (
+            DiffusionConfig, DiffusionSchedule, get_named_beta_schedule,
+        )
+        from condmdi_tpu.diffusion.sampling import SamplerConfig
+        from condmdi_tpu.models.unet import MDM_UNET
+        from condmdi_tpu.ops.quant import calibrate_act_scales_trajectory
+        from condmdi_tpu.sampling.pipeline import SamplePipeline
+
+        B, T, F = 2, 32, 263
+        model = MDM_UNET(
+            njoints=F, latent_dim=32, dim_mults=(1, 2),
+            keyframe_conditioned=True, pad_frames_to=32,
+            precision_mode="int8_static",
+        )
+        rng = np.random.default_rng(0)
+        x = jnp.zeros((B, T, F))
+        y = {"text_embed": jnp.asarray(rng.standard_normal((B, 512)).astype(np.float32))}
+        obs_x0 = jnp.asarray(rng.standard_normal((B, T, F)).astype(np.float32))
+        obs_mask = jnp.zeros((B, T, F), bool).at[:, ::8, :].set(True)
+        params = model.init(
+            jax.random.key(0), x, jnp.zeros((B,), jnp.int32), y,
+            obs_x0=obs_x0, obs_mask=obs_mask,
+        )
+        sched = DiffusionSchedule.create(get_named_beta_schedule("cosine", 12))
+        dcfg = DiffusionConfig()
+
+        variables = calibrate_act_scales_trajectory(
+            model, params, sched, dcfg, (B, T, F), y,
+            guidance_param=2.5, obs_x0=obs_x0, obs_mask=obs_mask,
+        )
+        leaves = jax.tree_util.tree_leaves(variables["act_scale"])
+        assert leaves and all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        # CFG-doubled trajectory visited the net: every recorded max > 0
+        assert all(float(np.asarray(l).max()) > 0 for l in leaves)
+
+        def apply_fn(xx, tt, yy, **kkw):
+            return model.apply(variables, xx, tt, yy, **kkw)
+
+        pipe = SamplePipeline(apply_fn, sched, dcfg, SamplerConfig())
+        out = pipe.sample(
+            jax.random.key(1), (B, T, F), y, guidance_param=2.5,
+            obs_x0=obs_x0, obs_mask=obs_mask,
+        )
+        assert bool(np.isfinite(np.asarray(out)).all())
+
+    def test_headroom_scales_maxima(self):
+        from condmdi_tpu.diffusion import (
+            DiffusionConfig, DiffusionSchedule, get_named_beta_schedule,
+        )
+        from condmdi_tpu.models.unet import MDM_UNET
+        from condmdi_tpu.ops.quant import calibrate_act_scales_trajectory
+
+        B, T, F = 2, 32, 263
+        model = MDM_UNET(
+            njoints=F, latent_dim=16, dim_mults=(1, 2),
+            keyframe_conditioned=True, pad_frames_to=32,
+            precision_mode="int8_static",
+        )
+        rng = np.random.default_rng(3)
+        y = {"text_embed": jnp.asarray(rng.standard_normal((B, 512)).astype(np.float32))}
+        obs_x0 = jnp.asarray(rng.standard_normal((B, T, F)).astype(np.float32))
+        obs_mask = jnp.zeros((B, T, F), bool).at[:, ::8, :].set(True)
+        params = model.init(
+            jax.random.key(0), jnp.zeros((B, T, F)), jnp.zeros((B,), jnp.int32),
+            y, obs_x0=obs_x0, obs_mask=obs_mask,
+        )
+        sched = DiffusionSchedule.create(get_named_beta_schedule("cosine", 6))
+        kw = dict(guidance_param=1.0, obs_x0=obs_x0, obs_mask=obs_mask, seed=4)
+        v1 = calibrate_act_scales_trajectory(
+            model, params, sched, DiffusionConfig(), (B, T, F), y,
+            headroom=1.0, **kw,
+        )
+        v2 = calibrate_act_scales_trajectory(
+            model, params, sched, DiffusionConfig(), (B, T, F), y,
+            headroom=2.0, **kw,
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(v1["act_scale"]),
+            jax.tree_util.tree_leaves(v2["act_scale"]),
+        ):
+            np.testing.assert_allclose(np.asarray(b), 2.0 * np.asarray(a), rtol=1e-6)
