@@ -3,19 +3,27 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Default model (the headline): CondMDI's keyframe-conditioned UNet-XL — the
-paper's flagship conditional model on its own benchmark task — in the
-STATIC-SCALE int8 serving path (same checkpoint; QConv quantizes weights
-in-graph, activation scales calibrated once into an `act_scale` collection
-so the step graph has zero quantization reduces). Measured ≈8.0
-samples/s/chip ≈ 29× baseline. The int8 paths are quality-gated vs bf16:
+paper's flagship conditional model on its own benchmark task — in bf16 with
+the tight TPU pad (pad 200 vs the reference's 224, -10.7% FLOPs; the output
+is the same 196 frames). Measured ≈5.2 samples/s/chip ≈ 19× baseline,
+verified against a committed CPU golden trajectory every run.
+
+Round-4 demotion: the int8_static serving path is ≈1.7× faster (≈8.9 ≈ 32×
+at pad 200) but FAILED the protocol-level promotion gate — on the g1.0
+1000-sample wo_mm pair through the trained evaluator its keyframe error is
++31%, FID +27%, traj error +49% vs bf16 (tests/test_protocol_delta_gate.py,
+BENCH_NOTES.md round-4). Per the promotion rule (speedups only headline if
+protocol quality is preserved), the headline is bf16; the int8 paths remain
+available and unit-gated:
   (1) whole-sampler DDIM trajectory closeness int8-vs-bf16
       (tests/test_quant.py::TestInt8WholeSampler, TestInt8StaticScales), and
   (2) keyframe-error delta vs bf16 on the committed synthetic-trained
-      conditional checkpoint, for BOTH dynamic and static scales
-      (tests/test_int8_gate.py; numbers in BENCH_NOTES.md).
-`BENCH_MODEL` overrides: `unet_int8` = dynamic-scale int8 (≈7.2 ≈ 26×),
-`unet` = bf16 (≈4.8 ≈ 17×), `mdm` = the MDM transformer encoder north-star
-config (Pallas fused attention, ≈7.5 ≈ 27×), `mdm_int8`. `BENCH_BATCH`
+      conditional checkpoint (tests/test_int8_gate.py — binding only while
+      an int8 mode headlines).
+`BENCH_MODEL` overrides: `unet_int8_static` (≈8.9 ≈ 32×), `unet_int8` =
+dynamic-scale int8 (≈7.2 ≈ 26×), `mdm` = the MDM transformer encoder
+north-star config (Pallas fused attention, ≈7.5 ≈ 27×), `mdm_int8`.
+`BENCH_PAD=224` restores the reference-shaped interior. `BENCH_BATCH`
 overrides batch (64).
 
 Baseline derivation: the reference's paper eval (eval_humanml_condmdi wo_mm:
@@ -67,7 +75,12 @@ def build_bench_model(which: str, B: int):
     else:
         from condmdi_tpu.models.unet import MDM_UNET
 
-        pad_to = int(os.environ.get("BENCH_PAD", "224"))  # 200 = tight pad
+        # default 200: the tight TPU pad (T=196 -> next multiple of 16 that
+        # keeps every UNet level 8-aligned; -10.7% FLOPs vs the reference's
+        # 224). Golden-verified against its own CPU trajectory
+        # (tests/golden/bench_traj_unet_pad200.json). BENCH_PAD=224 restores
+        # the reference-shaped interior.
+        pad_to = int(os.environ.get("BENCH_PAD", "200"))
         mode = {
             "unet": "float",
             "unet_int8": "int8",
@@ -191,7 +204,7 @@ def golden_name(which: str) -> str:
     float golden; a non-default BENCH_PAD gets its own golden (the pad
     changes the UNet's interior shapes, hence the trajectory)."""
     fam = which.split("_int8")[0] if "int8" in which else which
-    pad = os.environ.get("BENCH_PAD", "224")
+    pad = os.environ.get("BENCH_PAD", "200")  # keep in sync with build
     if pad != "224" and not fam.startswith("mdm"):
         fam += f"_pad{pad}"
     return fam
@@ -240,7 +253,12 @@ def main() -> None:
     from condmdi_tpu.diffusion.sampling import SamplerConfig, ddpm_sample_loop
 
     B = int(os.environ.get("BENCH_BATCH", "64"))
-    which = os.environ.get("BENCH_MODEL", "unet_int8_static")
+    # Headline = bf16 (round-4 demotion): the int8_static path is 1.7x
+    # faster but FAILED the protocol-level promotion gate on the g1.0
+    # 1000-sample wo_mm pair (keyframe error +31%, FID +27%, traj +49% —
+    # tests/test_protocol_delta_gate.py, BENCH_NOTES.md round-4). int8
+    # stays available via BENCH_MODEL=unet_int8{,_static}.
+    which = os.environ.get("BENCH_MODEL", "unet")
     STEPS = 1000
 
     model, params, y, obs_x0, obs_mask, label = build_bench_model(which, B)

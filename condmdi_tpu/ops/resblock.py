@@ -183,13 +183,18 @@ def _vmem_estimate(bt: int, T: int, cin: int, co_tile: int, k: int,
     x-only 4 MB budget overflowing it by ~5% at cin=cout=1024 (bench leg 7
     VMEM OOM on v5e), so the picker now budgets the whole working set."""
     Mb = bt * T
-    est = Mb * cin * 4                      # x tile
-    est += k * cin * co_tile * 4            # w tile
+    # Mosaic double-buffers every streamed (grid-mapped) ref — x, w, out,
+    # res each hold TWO copies in scoped vmem. Round-4 follow-up: the
+    # single-copy estimate passed 12 MB while the compiled kernel's scoped
+    # allocation hit 16.73 MB at bt=4/T=224/cin=cout=1024 (bench fused leg),
+    # a ~1.75x miss that the 2x streamed-ref terms account for.
+    est = 2 * Mb * cin * 4                  # x tile (double-buffered)
+    est += 2 * k * cin * co_tile * 4        # w tile (double-buffered)
     est += 6 * Mb * co_tile * 4             # body temporaries
     est += 2 * bt * Mb * 4                  # S_red / S_bcast
-    est += Mb * co_tile * 4                 # out tile
+    est += 2 * Mb * co_tile * 4             # out tile (double-buffered)
     if has_res:
-        est += Mb * co_tile * 4
+        est += 2 * Mb * co_tile * 4
     return est
 
 

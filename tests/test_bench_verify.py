@@ -38,6 +38,7 @@ def test_cpu_golden_reproduces(which, pad, monkeypatch):
 
 def test_check_against_golden_reports_mismatch(tmp_path, monkeypatch):
     monkeypatch.setattr(bench, "GOLDEN_PATH", str(tmp_path / "g_{which}.json"))
+    monkeypatch.setenv("BENCH_PAD", "224")  # un-suffixed golden family names
     slice_ = np.zeros((2, 3))
     # absent golden -> (None, None)
     ok, err = bench.check_against_golden("x", slice_, atol=1e-3)
@@ -56,6 +57,7 @@ def test_int8_checks_against_float_family_golden(tmp_path, monkeypatch):
     """int8 configs verify against the float golden with a mean-rel bound
     (XLA CPU has no practical int8 conv path to generate an int8 golden)."""
     monkeypatch.setattr(bench, "GOLDEN_PATH", str(tmp_path / "g_{which}.json"))
+    monkeypatch.setenv("BENCH_PAD", "224")  # un-suffixed golden family names
     golden = np.full((2, 3), 2.0)
     (tmp_path / "g_unet.json").write_text(json.dumps({"slice": golden.tolist()}))
     ok, err = bench.check_against_golden("unet_int8", golden * 1.05, atol=0.0)
