@@ -198,20 +198,26 @@ def _vmem_estimate(bt: int, T: int, cin: int, co_tile: int, k: int,
     return est
 
 
+def _valid_batch_tiles(B: int):
+    """Divisors of B usable as the batch tile. The AdaGN scale/shift refs
+    are blocked (bt, co_tile) on a [B, cout] array, so Pallas requires
+    bt % 8 == 0 or bt == B (sublane divisibility) — round-4 follow-up: the
+    tighter vmem budget picked bt=4 at B=64 and tripped exactly that."""
+    return [bt for bt in range(B, 0, -1)
+            if B % bt == 0 and (bt == B or bt % 8 == 0)]
+
+
 def _pick_batch_tile(B: int, T: int, cin: int, co_tile: int, k: int,
-                     has_res: bool) -> int:
-    """Largest divisor of B whose estimated working set fits well under the
-    16 MB scoped-vmem limit (12 MB budget leaves headroom for Mosaic's own
-    spills/double-buffering)."""
+                     has_res: bool):
+    """Largest valid divisor of B whose estimated working set fits under a
+    12 MB budget (16 MB Mosaic scoped-vmem limit minus headroom). Returns
+    None when even the smallest valid tile does not fit — callers fall back
+    to the unfused path via supports()."""
     budget = 12 * 1024 * 1024
-    bt = B
-    while bt > 1 and (
-        _vmem_estimate(bt, T, cin, co_tile, k, has_res) > budget or B % bt
-    ):
-        bt -= 1
-    while B % bt:
-        bt -= 1
-    return max(bt, 1)
+    for bt in _valid_batch_tiles(B):
+        if _vmem_estimate(bt, T, cin, co_tile, k, has_res) <= budget:
+            return bt
+    return None
 
 
 def supports(B: int, T: int, cin: int, cout: int, k: int, n_groups: int,
@@ -228,7 +234,14 @@ def supports(B: int, T: int, cin: int, cout: int, k: int, n_groups: int,
     if max(group_size, 128) > cout or cout % max(group_size, 128):
         return False
     # sublane: flattened rows per batch tile must tile by 8
-    return (T % 8 == 0) or (B * T) % 8 == 0
+    if not ((T % 8 == 0) or (B * T) % 8 == 0):
+        return False
+    # some valid batch tile must fit the scoped-vmem budget (worst case:
+    # residual present); otherwise callers must take the unfused path
+    co_tile = min(cout, max(group_size, 128))
+    if co_tile % group_size:
+        co_tile = cout
+    return _pick_batch_tile(B, T, cin, co_tile, k, True) is not None
 
 
 def fused_conv_gn_mish(*args, interpret: Optional[bool] = None, **kw):
@@ -273,7 +286,18 @@ def _fused_conv_gn_mish(
         co_tile = cout
     n_co = cout // co_tile
 
-    Bt = batch_tile or _pick_batch_tile(B, T, cin, co_tile, k, res is not None)
+    if batch_tile is not None:
+        Bt = batch_tile
+    elif interpret:
+        Bt = B  # no vmem limit in interpret mode
+    else:
+        Bt = _pick_batch_tile(B, T, cin, co_tile, k, res is not None)
+    if Bt is None:
+        raise ValueError(
+            f"fused resblock: no valid batch tile fits scoped vmem at "
+            f"B={B} T={T} cin={cin} cout={cout} k={k} — gate call sites on "
+            "resblock.supports()"
+        )
     Mb = Bt * T
     n_b = B // Bt
 

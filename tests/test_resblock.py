@@ -86,9 +86,13 @@ def test_supports_predicate():
     # the flagship low-T shapes are eligible
     assert supports(64, 56, 1024, 1024, 5, 8)
     assert supports(64, 28, 1024, 1024, 5, 8)
-    # 526-channel input convs are fine (cin unconstrained)
-    assert supports(64, 224, 526, 1024, 5, 8)
-    # odd group sizes are not
+    # T=224 full-resolution convs are NOT: no batch tile that satisfies
+    # Pallas sublane divisibility (bt % 8 == 0) fits Mosaic's 16 MB scoped
+    # vmem (round-4 hardware: bt=4 at cin=cout=1024 allocated 16.73 MB and
+    # OOMed) — these levels take the unfused XLA path
+    assert not supports(64, 224, 526, 1024, 5, 8)
+    assert not supports(64, 224, 1024, 1024, 5, 8)
+    # odd group sizes are not eligible either
     assert not supports(64, 56, 1024, 1000, 5, 8)
 
 
