@@ -100,11 +100,21 @@ def load_evaluator():
 
 
 def write_report_meta(log_file: Path, meta: dict) -> None:
-    """Attach the self-describing meta block to the summary json."""
+    """Attach the self-describing meta block to the summary json.
+
+    Every report records the generating backend (platform/devices) so the
+    repro test can pick the right tolerance tier; callers may override by
+    passing their own values.
+    """
+    import jax
+
     try:
         blob = json.loads(Path(log_file).read_text())
     except Exception:
         blob = {}
+    meta = dict(meta)
+    meta.setdefault("platform", jax.devices()[0].platform)
+    meta.setdefault("devices", jax.device_count())
     blob["meta"] = meta
     Path(log_file).write_text(json.dumps(blob, indent=1, default=str))
 

@@ -139,8 +139,14 @@ def main(argv=None):
     from condmdi_tpu.evals.metrics import get_metric_statistics
     from condmdi_tpu.models import MDM
     from condmdi_tpu.sampling.pipeline import SamplePipeline
+    from condmdi_tpu.utils.seed import seed_all
 
     args = build_parser().parse_args(argv)
+    # reference parity: every eval entry pins the global RNGs (fixseed,
+    # eval_humanml_condmdi.py:461) — the data layer's crop/text choice uses
+    # the global numpy/python RNGs, so unseeded runs are not reproducible.
+    seed_all(args.seed)
+
     mode = EVAL_MODES.get(args.eval_mode, EVAL_MODES["debug"])
     ds, num_actions, synthetic_data = load_a2m_data(args)
     classifier, classifier_source = load_classifier(args, num_actions)

@@ -62,8 +62,14 @@ def main(argv=None):
     from condmdi_tpu.sampling.pipeline import SamplePipeline
     from condmdi_tpu.sampling.synthesize import load_model_for_sampling
     from condmdi_tpu.utils.config import EvalArgs, parse_args, replace_args
+    from condmdi_tpu.utils.seed import seed_all
 
     args = parse_args(EvalArgs, argv)
+    # reference parity: every eval entry pins the global RNGs (fixseed,
+    # eval_humanml_condmdi.py:461) — the data layer's crop/text choice uses
+    # the global numpy/python RNGs, so unseeded runs are not reproducible.
+    seed_all(args.seed)
+
     args.keyframe_conditioned = False  # GMD models are not keyframe-concat models
     args.abs_3d = True  # GMD guidance operates on abs-root features
     mode = EVAL_MODES.get(args.eval_mode, EVAL_MODES["wo_mm"])

@@ -65,8 +65,14 @@ def main(argv=None):
     from condmdi_tpu.evals.unconstrained import evaluate_unconstrained
     from condmdi_tpu.models import MDM
     from condmdi_tpu.sampling.pipeline import SamplePipeline
+    from condmdi_tpu.utils.seed import seed_all
 
     args = build_parser().parse_args(argv)
+    # reference parity: every eval entry pins the global RNGs (fixseed,
+    # eval_humanml_condmdi.py:461) — the data layer's crop/text choice uses
+    # the global numpy/python RNGs, so unseeded runs are not reproducible.
+    seed_all(args.seed)
+
     args.dataset = "humanact12"  # reference protocol runs on HumanAct12
     mode = EVAL_MODES.get(args.eval_mode, EVAL_MODES["debug"])
     ds, _, synthetic_data = load_a2m_data(args)

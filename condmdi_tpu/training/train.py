@@ -20,12 +20,7 @@ from pathlib import Path
 import numpy as np
 
 
-def seed_all(seed: int):
-    """fixseed equivalent (reference utils/fixseed.py:6)."""
-    import random
-
-    random.seed(seed)
-    np.random.seed(seed)
+from condmdi_tpu.utils.seed import seed_all  # noqa: F401  (canonical home)
 
 
 class TrainLoop:

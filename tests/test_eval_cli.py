@@ -83,6 +83,9 @@ class TestLegacyT2MProtocol:
             "--num_samples", "32",
             "--model_path", "",
             "--text_encoder", "hash",
+            # write to tmp — the default save/eval_out would clobber the
+            # committed round-4 debug artifacts on every suite run
+            "--output_dir", str(tmp_path),
         ])
         assert np.isfinite(summary["fid"]["mean"])
         assert np.isfinite(summary["matching_score"]["mean"])
@@ -91,7 +94,7 @@ class TestLegacyT2MProtocol:
         assert "keyframe_error" not in summary
         assert "traj_error" not in summary
         report = json.loads(
-            Path("save/eval_out/eval_humanml_debug.json").read_text()
+            (Path(tmp_path) / "eval_humanml_debug.json").read_text()
         )
         assert report["meta"]["protocol"].startswith("eval_humanml")
         assert report["meta"]["synthetic_data"] is True
@@ -117,6 +120,7 @@ class TestGMDConditionProtocol:
             "--num_samples", "32",
             "--model_path", "",
             "--text_encoder", "hash",
+            "--output_dir", str(tmp_path),
         ])
         assert np.isfinite(summary["fid"]["mean"])
         # trajectory-error vector: [traj_fail_20cm, traj_fail_50cm,
@@ -124,7 +128,7 @@ class TestGMDConditionProtocol:
         assert len(summary["traj_error"]["mean"]) == 5
         assert np.isfinite(summary["keyframe_error"]["mean"])
         report = json.loads(
-            Path("save/eval_out/eval_condition_debug.json").read_text()
+            (Path(tmp_path) / "eval_condition_debug.json").read_text()
         )
         assert report["meta"]["random_init_models"] is True
         assert "two-stage" in report["meta"]["protocol"]
