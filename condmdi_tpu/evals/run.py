@@ -211,6 +211,9 @@ def main(argv=None):
         "guidance_param": args.guidance_param,
         "num_samples": len(gt_batches) * B,
         "seed": args.seed,
+        # marks reports generated after seed_all() pinned the data layer's
+        # global-RNG draws — only these re-derive bit-close same-platform
+        "rng": "global_seeded",
         "use_ema": getattr(args, "use_ema", True),
         "devices": ndev,
         # bit-exact re-derivation is only expected on the same backend; a

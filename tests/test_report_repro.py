@@ -80,6 +80,12 @@ class TestCommittedReportRepro:
             # (or falsely tightens) the tolerance — skip instead
             pytest.skip("report predates platform recording")
         same_platform = meta["platform"] == jax.devices()[0].platform
+        if same_platform and meta.get("rng") != "global_seeded":
+            # report predates seed_all() in the eval CLIs: its gt crops and
+            # caption choices came from an unpinned global RNG stream, so a
+            # bit-close same-platform re-derivation is impossible by
+            # construction (the loose cross-platform leg still runs)
+            pytest.skip("report predates deterministic global seeding")
         # Same backend: identical seeds → fp-reassociation tolerance only.
         # Cross-platform (tpu-committed report re-derived on cpu CI): the
         # bf16-vs-f32 difference compounds through the 1000-step sampling
