@@ -358,6 +358,13 @@ class TrainLoop:
         pass of the real harness)."""
         if not getattr(self.args, "eval_during_training", False):
             return
+        # eval_main reseeds the GLOBAL RNGs (fixseed parity) — snapshot and
+        # restore them so the in-process eval doesn't rewind the training
+        # data stream's crop/caption draws to the same subsequence after
+        # every eval interval
+        import random
+
+        py_state, np_state = random.getstate(), np.random.get_state()
         try:
             from condmdi_tpu.evals.run import main as eval_main
 
@@ -375,6 +382,9 @@ class TrainLoop:
             self.logger.dumpkvs()
         except Exception as e:  # eval must never kill training
             print(f"in-training eval failed: {e}")
+        finally:
+            random.setstate(py_state)
+            np.random.set_state(np_state)
 
     def save(self, step: int):
         from condmdi_tpu.utils import checkpoint as ckpt

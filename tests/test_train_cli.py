@@ -211,3 +211,50 @@ def _tree_leaves(tree):
     import jax
 
     return jax.tree_util.tree_leaves(tree)
+
+
+class TestInTrainingEvalIsolation:
+    def test_eval_during_training_does_not_perturb_training(self, tmp_path):
+        """evals.run.main reseeds the GLOBAL RNGs (fixseed parity); the
+        in-training eval hook must snapshot/restore them or every eval
+        interval rewinds the training data stream's crop/caption draws.
+        Property: final params are bit-identical with and without
+        eval_during_training (the eval is observational)."""
+        import jax
+        import jax.numpy as jnp
+
+        from condmdi_tpu.training.train import main
+        from condmdi_tpu.utils import checkpoint as ckpt
+
+        base = [
+            "--config", "motion_abs_unet_adagn_xl",
+            "--num_steps", "6",
+            "--save_interval", "3",
+            "--log_interval", "2",
+            "--batch_size", "4",
+            "--num_frames", "28",
+            "--latent_dim", "16",
+            "--dim_mults", "1", "2",
+            "--diffusion_steps", "8",
+            "--keyframe_conditioned", "true",
+            "--use_fp16", "false",
+            "--data_dir", "/nonexistent",
+        ]
+        main(base + ["--save_dir", str(tmp_path / "plain")])
+        main(base + [
+            "--save_dir", str(tmp_path / "with_eval"),
+            "--eval_during_training", "true",
+            "--eval_num_samples", "8",
+        ])
+
+        # the eval must have actually run (otherwise this test is vacuous)
+        csv_text = (tmp_path / "with_eval" / "progress.csv").read_text()
+        assert "eval/" in csv_text, "in-training eval never logged its metrics"
+
+        a = ckpt.load_checkpoint(tmp_path / "plain" / "ckpt_000000006")
+        b = ckpt.load_checkpoint(tmp_path / "with_eval" / "ckpt_000000006")
+        la = jax.tree_util.tree_leaves(a["params"])
+        lb = jax.tree_util.tree_leaves(b["params"])
+        assert len(la) == len(lb)
+        for x, y in zip(la, lb):
+            assert jnp.array_equal(jnp.asarray(x), jnp.asarray(y))
