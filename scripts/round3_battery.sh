@@ -13,6 +13,10 @@ fi
 sleep 20
 echo "=== trainer done; battery starts $(date) ==="
 CKPT=$(ls -d save/synthetic_unet_m/ckpt_* 2>/dev/null | sort | tail -1)
+# guard against the trainer dying before its first save: an empty
+# --model_path falls back to random init inside load_model_for_sampling
+# and every wo_mm leg would "measure" an untrained model with exit=0.
+[ -n "$CKPT" ] || { echo "FATAL: no gate checkpoint found; aborting battery"; exit 1; }
 echo "gate checkpoint: $CKPT"
 
 echo "--- 1/8 fid vs steps sweep ---"
