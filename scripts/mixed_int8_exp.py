@@ -1,0 +1,152 @@
+"""Mixed-step int8 experiment: which sampler steps must stay float?
+
+The round-4 protocol gate showed pure int8_static sampling damages
+conditioning quality (keyframe error +31% at g1.0 over 1000 DDPM steps).
+Hypothesis (diffusion-quantization folklore): quantization noise in a FEW
+of the steps dominates the end-metric damage — keep those steps in the
+float path and the rest int8, retaining most of the 1.7× serving speedup.
+
+Runs the protocol's generate_eval_batch on one batch with:
+  float            — control,
+  int8             — every step quantized (current int8_static),
+  int8_last{K}f    — float when t < K (the END of the reverse process),
+  int8_first{K}f   — float when t >= T-K (the START, x_t ~ N(0,1)),
+for each K in --k_list, and reports keyframe / trajectory error vs GT.
+
+Usage (TPU, ~minutes): python scripts/mixed_int8_exp.py \
+    [--ckpt save/synthetic_unet_m/ckpt_000100000] [--batch 32] \
+    [--k_list 10,50,100,250]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from condmdi_tpu.diffusion.sampling import SamplerConfig
+    from condmdi_tpu.evals.common import load_eval_datasets
+    from condmdi_tpu.evals.harness import EvalConfig, generate_eval_batch
+    from condmdi_tpu.models.factory import create_model
+    from condmdi_tpu.models.text import make_text_encoder
+    from condmdi_tpu.ops.quant import calibrate_act_scales_trajectory
+    from condmdi_tpu.sampling.pipeline import SamplePipeline
+    from condmdi_tpu.sampling.synthesize import load_model_for_sampling
+    from condmdi_tpu.training.keyframes import get_keyframes_mask
+    from condmdi_tpu.utils.config import EvalArgs, parse_args
+    from condmdi_tpu.utils.seed import seed_all
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default="save/synthetic_unet_m/ckpt_000100000")
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--k_list", default="10,50,100,250")
+    ap.add_argument("--guidance", type=float, default=1.0)
+    cli = ap.parse_args()
+    k_list = [int(s) for s in cli.k_list.split(",") if s]
+
+    base_argv = [
+        "--model_path", cli.ckpt, "--edit_mode", "benchmark_sparse",
+        "--num_samples", "32", "--use_ema", "true",
+        "--precision_mode", "int8_static",
+    ]
+    args = parse_args(EvalArgs, base_argv)
+    args.keyframe_conditioned = True
+    seed_all(args.seed)
+    T = args.num_frames
+    B = 32
+
+    model8, params, sched, dcfg = load_model_for_sampling(args)
+    # float twin sharing the same params tree
+    args_f = parse_args(EvalArgs, [a for a in base_argv if a not in
+                                   ("--precision_mode", "int8_static")])
+    args_f.keyframe_conditioned = True
+    modelf = create_model(args_f)
+
+    enc = make_text_encoder(args)
+    ds_rel, ds_abs, gt_batches, _ = load_eval_datasets(args, T, B, enc)
+    b0 = gt_batches[0]
+
+    # calibrate exactly like evals.run (trajectory calibration)
+    from condmdi_tpu.data.convert import rel_to_abs3d
+
+    motion_rel = jnp.asarray(b0["motion"])
+    motion_abs = rel_to_abs3d(motion_rel, ds_rel.stats, ds_abs.stats)
+    cal_mask = get_keyframes_mask(
+        jax.random.key(args.seed), jnp.asarray(b0["lengths"]), T,
+        edit_mode="benchmark_sparse", trans_length=args.transition_length,
+    ) & jnp.asarray(b0["time_mask"])[..., None]
+    params = calibrate_act_scales_trajectory(
+        model8, params, sched, dcfg, motion_rel.shape,
+        {"text_embed": jnp.asarray(b0["text_embed"])},
+        guidance_param=cli.guidance, obs_x0=motion_abs, obs_mask=cal_mask,
+        seed=args.seed,
+    )
+
+    Bs = cli.batch
+    batch = {k: (v[:Bs] if hasattr(v, "__getitem__") and not isinstance(v, dict)
+                 and len(v) == B else v) for k, v in b0.items()}
+
+    cfg = EvalConfig(
+        edit_mode="benchmark_sparse",
+        transition_length=args.transition_length,
+        guidance_param=cli.guidance,
+        keyframe_conditioned=True,
+        replication_times=1,
+    )
+
+    def make_apply(kind, K=0):
+        if kind == "float":
+            return lambda x, t, y, **kw: modelf.apply(params, x, t, y, **kw)
+        if kind == "int8":
+            return lambda x, t, y, **kw: model8.apply(params, x, t, y, **kw)
+        if kind == "int8_lastKf":  # float branch when t < K
+            def apply_fn(x, t, y, **kw):
+                return jax.lax.cond(
+                    t[0] < K,
+                    lambda: modelf.apply(params, x, t, y, **kw),
+                    lambda: model8.apply(params, x, t, y, **kw),
+                )
+            return apply_fn
+        if kind == "int8_firstKf":  # float branch when t >= T-K
+            def apply_fn(x, t, y, **kw):
+                return jax.lax.cond(
+                    t[0] >= sched.num_timesteps - K,
+                    lambda: modelf.apply(params, x, t, y, **kw),
+                    lambda: model8.apply(params, x, t, y, **kw),
+                )
+            return apply_fn
+        raise ValueError(kind)
+
+    def run_one(kind, K=0):
+        pipe = SamplePipeline(
+            make_apply(kind, K), sched, dcfg, SamplerConfig(method="ddpm")
+        )
+        out = generate_eval_batch(
+            pipe, batch, jax.random.key(123), cfg, ds_abs.stats, ds_rel.stats,
+        )
+        from condmdi_tpu.evals import metrics as M
+
+        kf = M.calculate_keyframe_error(out.keyframe_error, out.num_keyframes)
+        tr = M.calculate_trajectory_error(out.dist_error, out.num_keyframes)
+        fin = bool(np.isfinite(out.motions_rel).all())
+        print(f"[{kind:>13}] K={K:>4} keyframe_err={float(kf):.4f} "
+              f"traj_mean_err={float(np.ravel(tr)[-1]):.4f} finite={fin}",
+              flush=True)
+
+    run_one("float")
+    run_one("int8")
+    for K in k_list:
+        run_one("int8_lastKf", K)
+        run_one("int8_firstKf", K)
+
+
+if __name__ == "__main__":
+    main()
