@@ -31,6 +31,11 @@ def main(argv=None):
     ap.add_argument("--num_samples", type=int, default=32)
     ap.add_argument("--guidance_param", type=float, default=1.0)
     ap.add_argument("--use_ema", default="false")
+    # sweep with the observation mask zeroed: isolates whether the FID-vs-
+    # steps drift is specific to imputation-constrained sampling (the
+    # committed conditioned sweeps bottom at 20k then rise while keyframe
+    # error keeps falling) or a property of the model's raw distribution.
+    ap.add_argument("--drop_observations", default="false")
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
 
@@ -54,6 +59,7 @@ def main(argv=None):
             "--num_samples", str(args.num_samples),
             "--use_ema", args.use_ema,
             "--output_dir", "/tmp/fid_vs_steps_out",
+            "--drop_observations", args.drop_observations,
         ]
         if path is None:
             # random init at the run's architecture
@@ -127,6 +133,7 @@ def main(argv=None):
         num_samples=args.num_samples, evaluator="trained_synthetic",
         use_ema=args.use_ema == "true",
         guidance_param=args.guidance_param,
+        drop_observations=args.drop_observations == "true",
         zero_baseline_keyframe_error=zero_kf_err, rows=rows,
     )
     out_path = Path(args.out) if args.out else run_dir / "fid_vs_steps.json"
