@@ -85,6 +85,10 @@ def build_bench_model(which: str, B: int):
             "unet": "float",
             "unet_int8": "int8",
             "unet_int8_static": "int8_static",
+            # mixed-step serving: int8_static model everywhere except the
+            # last BENCH_FLOAT_LAST_K sampler steps, which run a float twin
+            # of the same params (lax.cond in main's denoise)
+            "unet_int8_mixed": "int8_static",
         }[which]
         # BENCH_FUSED=1 routes eligible resblock halves through the Pallas
         # fused conv+GN+AdaGN+Mish kernel (ops/resblock.py, float mode only)
@@ -117,6 +121,10 @@ def build_bench_model(which: str, B: int):
             "int8_static": " int8 static-scale serving path (bf16-parity gated)",
             "float": " bf16",
         }[mode]
+        if which == "unet_int8_mixed":
+            k = int(os.environ.get("BENCH_FLOAT_LAST_K", "50"))
+            label = ("CondMDI UNet-XL keyframe-conditioned int8 mixed-step "
+                     f"serving path (last {k} steps float)")
     return model, params, y, obs_x0, obs_mask, label
 
 
@@ -276,13 +284,28 @@ def main() -> None:
     sched = DiffusionSchedule.create(get_named_beta_schedule("cosine", STEPS))
     dcfg = DiffusionConfig()
 
+    model_float = None
+    k_float = 0
+    if which == "unet_int8_mixed":
+        # float twin sharing the same params tree; lax.cond picks per step
+        model_float = model.clone(precision_mode="float")
+        k_float = int(os.environ.get("BENCH_FLOAT_LAST_K", "50"))
+
     @jax.jit
     def run(params, y, obs_x0, obs_mask, key):
         def denoise(x_t, t):
             kw = {}
             if obs_x0 is not None:
                 kw = dict(obs_x0=obs_x0.astype(jnp.bfloat16), obs_mask=obs_mask)
-            out = model.apply(params, x_t.astype(jnp.bfloat16), t, y, **kw)
+            xb = x_t.astype(jnp.bfloat16)
+            if model_float is not None:
+                out = jax.lax.cond(
+                    t[0] < k_float,
+                    lambda: model_float.apply(params, xb, t, y, **kw),
+                    lambda: model.apply(params, xb, t, y, **kw),
+                )
+            else:
+                out = model.apply(params, xb, t, y, **kw)
             return out.astype(jnp.float32)
 
         return ddpm_sample_loop(

@@ -42,6 +42,16 @@ def main(argv=None):
     # the global numpy/python RNGs, so unseeded runs are not reproducible.
     seed_all(args.seed)
 
+    k_float = int(getattr(args, "int8_float_last_k", 0))
+    if k_float > 0 and getattr(args, "precision_mode", "float") not in (
+        "int8", "int8_static"
+    ):
+        raise SystemExit(
+            "evals.run: --int8_float_last_k requires --precision_mode "
+            "int8 or int8_static (int8_prequant stores quantized kernels "
+            "the float twin cannot apply; float has no int8 leg to mix)."
+        )
+
     args.keyframe_conditioned = True
     mode = EVAL_MODES.get(args.eval_mode, EVAL_MODES["wo_mm"])
     if getattr(args, "max_replications", 0):
@@ -121,8 +131,23 @@ def main(argv=None):
         print(f"eval sampling: precision_mode={pmode} "
               "(act scales trajectory-calibrated)")
 
-    def apply_fn(x, t, y, **kw):
-        return model.apply(params, x, t, y, **kw)
+    if k_float > 0:
+        # mixed-step serving: the same params tree drives an int8 model and
+        # a float twin; lax.cond picks per sampler step (both branches are
+        # compiled once, only one executes per step). t here is the MODEL
+        # timestep (original 1000-step scale even under respacing), so K
+        # always means "the last K of the full reverse process".
+        model_float = model.clone(precision_mode="float")
+
+        def apply_fn(x, t, y, **kw):
+            return jax.lax.cond(
+                t[0] < k_float,
+                lambda: model_float.apply(params, x, t, y, **kw),
+                lambda: model.apply(params, x, t, y, **kw),
+            )
+    else:
+        def apply_fn(x, t, y, **kw):
+            return model.apply(params, x, t, y, **kw)
 
     pipe = SamplePipeline(
         apply_fn, sched, dcfg,
@@ -186,6 +211,8 @@ def main(argv=None):
     )
     out_dir.mkdir(parents=True, exist_ok=True)
     suffix = "" if pmode == "float" else f"_{pmode}"
+    if k_float > 0:
+        suffix += f"_f{k_float}"
     if getattr(args, "drop_observations", False):
         suffix += "_dropobs"
     log_file = out_dir / f"eval_{args.edit_mode}_{args.eval_mode}{suffix}.json"
@@ -207,6 +234,7 @@ def main(argv=None):
         "model_keyframe_conditioned": model_kc,
         "drop_observations": getattr(args, "drop_observations", False),
         "precision_mode": pmode,
+        "int8_float_last_k": k_float,
         # enough to re-derive any single replication (tests/test_report_repro)
         "guidance_param": args.guidance_param,
         "num_samples": len(gt_batches) * B,

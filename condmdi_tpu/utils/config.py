@@ -69,6 +69,14 @@ class ModelOptions:
     # TPU-build extra: 'int8' switches QConv/QDense to the quantized serving
     # path (~1.5x on the UNet; same checkpoint). No reference equivalent.
     precision_mode: str = "float"  # float | int8
+    # Mixed-step serving (int8/int8_static only): run the LAST K sampler
+    # steps — model timestep t < K, where the reverse process settles the
+    # fine detail the keyframe metrics score — through the float path, the
+    # rest int8. Per-step int8 noise compounding into late-step conditioning
+    # damage is what failed the round-4 protocol promotion gate; this keeps
+    # most of the int8 speedup (1000-K of 1000 steps) while restoring the
+    # quality-critical tail. 0 = pure precision_mode path.
+    int8_float_last_k: int = 0
 
 
 @dataclass

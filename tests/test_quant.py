@@ -393,3 +393,85 @@ class TestTrajectoryCalibration:
             jax.tree_util.tree_leaves(v2["act_scale"]),
         ):
             np.testing.assert_allclose(np.asarray(b), 2.0 * np.asarray(a), rtol=1e-6)
+
+
+class TestMixedStepServing:
+    """int8_float_last_k mixed-step serving (evals.run / bench unet_int8_mixed):
+    one params tree drives an int8_static model and a float clone; lax.cond
+    picks per sampler step on the model timestep. The cond branches must be
+    EXACTLY the single-mode outputs — the mixed path is a scheduler, not a
+    third numeric path."""
+
+    def test_cond_branches_match_single_mode_outputs(self):
+        from condmdi_tpu.models.unet import MDM_UNET
+
+        B, T, F, K = 2, 28, 263, 100
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.standard_normal((B, T, F)).astype(np.float32))
+        y = {"text_embed": jnp.asarray(rng.standard_normal((B, 512)).astype(np.float32))}
+        kw = dict(
+            obs_x0=jnp.asarray(rng.standard_normal((B, T, F)).astype(np.float32) * 0.1),
+            obs_mask=jnp.zeros((B, T, F), bool).at[:, ::7, :].set(True),
+        )
+        m8 = MDM_UNET(
+            njoints=F, latent_dim=32, dim_mults=(1, 2),
+            keyframe_conditioned=True, pad_frames_to=32,
+            precision_mode="int8_static",
+        )
+        mf = m8.clone(precision_mode="float")
+
+        t0 = jnp.zeros((B,), jnp.int32)
+        vs = m8.init(jax.random.key(0), x, t0, y, **kw)
+        leaves, td = jax.tree_util.tree_flatten(vs["params"])
+        prng = np.random.default_rng(8)
+        leaves = [
+            l + jnp.asarray(0.05 * prng.standard_normal(l.shape).astype(np.float32))
+            for l in leaves
+        ]
+        variables = {"params": jax.tree_util.tree_unflatten(td, leaves)}
+        _, upd = m8.apply(
+            {**variables, "act_scale": vs["act_scale"]}, x, t0, y, **kw,
+            mutable=["act_scale"],
+        )
+        variables = {**variables, "act_scale": upd["act_scale"]}
+
+        @jax.jit
+        def mixed(x, t):
+            return jax.lax.cond(
+                t[0] < K,
+                lambda: mf.apply(variables, x, t, y, **kw),
+                lambda: m8.apply(variables, x, t, y, **kw),
+            )
+
+        t_late = jnp.full((B,), K - 1, jnp.int32)   # float branch
+        t_early = jnp.full((B,), K, jnp.int32)      # int8 branch
+        # jit-under-cond fuses differently than an eager apply, so the same
+        # branch is not bit-identical — but float-vs-int8 differ at the ~5%
+        # level, so a 1e-4 tolerance still pins WHICH branch executed
+        np.testing.assert_allclose(
+            np.asarray(mixed(x, t_late)),
+            np.asarray(mf.apply(variables, x, t_late, y, **kw)),
+            rtol=1e-4, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(mixed(x, t_early)),
+            np.asarray(m8.apply(variables, x, t_early, y, **kw)),
+            rtol=1e-4, atol=1e-5,
+        )
+        # and the two branches genuinely differ well ABOVE the tolerance
+        # used to pin branch identity (int8 is not a no-op here)
+        of = np.asarray(mf.apply(variables, x, t_early, y, **kw))
+        o8 = np.asarray(m8.apply(variables, x, t_early, y, **kw))
+        assert np.abs(of - o8).mean() / (np.abs(of).mean() + 1e-9) > 1e-3
+
+    def test_cli_guard_rejects_float_mixed(self):
+        import pytest
+
+        from condmdi_tpu.evals.run import main
+
+        with pytest.raises(SystemExit, match="int8_float_last_k"):
+            main([
+                "--eval_mode", "debug", "--model_path", "",
+                "--edit_mode", "benchmark_sparse", "--num_samples", "32",
+                "--int8_float_last_k", "50",
+            ])

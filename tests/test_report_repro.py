@@ -67,6 +67,8 @@ class TestCommittedReportRepro:
         ]
         if meta.get("precision_mode", "float") != "float":
             argv += ["--precision_mode", meta["precision_mode"]]
+        if meta.get("int8_float_last_k"):
+            argv += ["--int8_float_last_k", str(meta["int8_float_last_k"])]
         if meta.get("drop_observations"):
             argv += ["--drop_observations", "true"]
         if not meta.get("model_keyframe_conditioned", True):
