@@ -29,6 +29,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def main():
+    import os
+
+    # each (kind, K) pair is a distinct XLA program — persistent cache so
+    # the float/int8 legs reuse the protocol runs' compiles and reruns of
+    # this script are cheap
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
     import jax
     import jax.numpy as jnp
 
@@ -47,7 +54,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--ckpt", default="save/synthetic_unet_m/ckpt_000100000")
     ap.add_argument("--batch", type=int, default=32)
-    ap.add_argument("--k_list", default="10,50,100,250")
+    ap.add_argument("--k_list", default="50,250")
     ap.add_argument("--guidance", type=float, default=1.0)
     cli = ap.parse_args()
     k_list = [int(s) for s in cli.k_list.split(",") if s]

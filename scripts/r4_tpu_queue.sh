@@ -17,7 +17,7 @@ echo "=== chip free; queue starts $(date) ==="
 
 echo "--- 1/2 mixed-step int8 experiment ---"
 timeout 3600 python scripts/mixed_int8_exp.py --batch 32 \
-  --k_list 10,50,100,250 > /tmp/mixed_exp_tpu.log 2>&1
+  --k_list 50,250 > /tmp/mixed_exp_tpu.log 2>&1
 echo "exit=$? (mixed int8)"
 
 echo "--- 2/2 drop-observations fid sweep ---"
