@@ -85,6 +85,9 @@ def build_bench_model(which: str, B: int):
             "unet": "float",
             "unet_int8": "int8",
             "unet_int8_static": "int8_static",
+            # per-input-channel static act scales, folded into the weights
+            # at quantization time (ops/quant.py rank-1 a_scale path)
+            "unet_int8_static_pc": "int8_static_pc",
             # mixed-step serving: int8_static model everywhere except the
             # last BENCH_FLOAT_LAST_K sampler steps, which run a float twin
             # of the same params (lax.cond in main's denoise)
@@ -101,7 +104,7 @@ def build_bench_model(which: str, B: int):
         obs_x0 = jnp.asarray(rng.standard_normal((B, T, F)).astype(np.float32) * 0.1)
         obs_mask = jnp.zeros((B, T, F), bool).at[:, ::10, :].set(True)
         params = model.init(jax.random.key(0), x, t0, y, obs_x0=obs_x0, obs_mask=obs_mask)
-        if mode == "int8_static":
+        if mode.startswith("int8_static"):
             # calibrate activation scales over the noise range the sampler
             # traverses: x_t goes from ~N(0,1) at t=999 to data scale at t=0
             kw = dict(obs_x0=obs_x0, obs_mask=obs_mask)
@@ -119,6 +122,8 @@ def build_bench_model(which: str, B: int):
         label = "CondMDI UNet-XL keyframe-conditioned" + {
             "int8": " int8 serving path (bf16-parity gated)",
             "int8_static": " int8 static-scale serving path (bf16-parity gated)",
+            "int8_static_pc": " int8 per-channel-static serving path "
+                              "(bf16-parity gated)",
             "float": " bf16",
         }[mode]
         if which == "unet_int8_mixed":

@@ -44,11 +44,12 @@ def main(argv=None):
 
     k_float = int(getattr(args, "int8_float_last_k", 0))
     if k_float > 0 and getattr(args, "precision_mode", "float") not in (
-        "int8", "int8_static"
+        "int8", "int8_static", "int8_static_pc"
     ):
         raise SystemExit(
             "evals.run: --int8_float_last_k requires --precision_mode "
-            "int8 or int8_static (int8_prequant stores quantized kernels "
+            "int8, int8_static or int8_static_pc (int8_prequant stores "
+            "quantized kernels "
             "the float twin cannot apply; float has no int8 leg to mix)."
         )
 
@@ -102,7 +103,7 @@ def main(argv=None):
     # serving-shaped conditioning (abs-space obs, sparse edit-mode mask)
     # and freezes the ranges that trajectory actually visits.
     pmode = getattr(args, "precision_mode", "float")
-    if pmode in ("int8_static", "int8_prequant"):
+    if pmode in ("int8_static", "int8_static_pc", "int8_prequant"):
         import jax.numpy as jnp
 
         from condmdi_tpu.data.convert import rel_to_abs3d

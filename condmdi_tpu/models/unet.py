@@ -98,20 +98,28 @@ class QConv(nn.Module):
             return quant_conv1d_from_f32(
                 x, kernel, bias, stride=self.stride, padding=self.padding
             ).astype(x.dtype)
-        if self.precision_mode == "int8_static":
+        if self.precision_mode.startswith("int8_static"):
             # static activation scales: the dynamic per-tensor abs-max pass
             # is ~21% of int8 step time (BENCH_NOTES round 2). Calibrate by
             # applying with mutable=["act_scale"] on representative inputs
             # (running max; dynamic quant is used during those passes), then
             # serve with the collection frozen — zero per-step reduces.
+            # 'int8_static_pc' records PER-INPUT-CHANNEL maxima; serving
+            # folds them into the weights (ops/quant.py rank-1 a_scale path)
+            # so the finer granularity costs nothing in the epilogue.
             from condmdi_tpu.ops.quant import quant_conv1d_from_f32
 
+            per_channel = self.precision_mode == "int8_static_pc"
+            cin = x.shape[-1]
             amax = self.variable(
-                "act_scale", "amax", lambda: jnp.zeros((), jnp.float32)
+                "act_scale", "amax",
+                lambda: jnp.zeros((cin,) if per_channel else (), jnp.float32),
             )
             if self.is_mutable_collection("act_scale"):
+                ax = jnp.abs(x.astype(jnp.float32))
                 amax.value = jnp.maximum(
-                    amax.value, jnp.max(jnp.abs(x.astype(jnp.float32)))
+                    amax.value, jnp.max(ax, axis=(0, 1)) if per_channel
+                    else jnp.max(ax)
                 )
                 return quant_conv1d_from_f32(
                     x, kernel, bias, stride=self.stride, padding=self.padding

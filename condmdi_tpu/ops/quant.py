@@ -97,7 +97,29 @@ def quant_conv1d_from_f32(
     """int8 conv taking the ORIGINAL f32/bf16 kernel: weights are quantized
     per-channel in-graph (cheap vs the conv; lets the same parameter tree
     serve both precision modes) and activations dynamically per-tensor —
-    or statically when a calibrated `a_scale` is supplied."""
+    or statically when a calibrated `a_scale` is supplied.
+
+    A RANK-1 `a_scale` [Cin] selects per-input-channel static activation
+    quantization with fold-into-weights dequant: the conv contracts over
+    (k, Cin), so a per-Cin activation scale cannot sit in the epilogue —
+    instead fold it into the kernel BEFORE weight quantization
+    (w~ = w * s_c), quantize x as x/s_c, and dequant by the weight scale
+    alone:  Σ (x/s_c)·(w·s_c)·ŵ = Σ x·w  exactly (up to the two roundings).
+    Per-channel ranges track GroupNorm-affine channel spreads that a
+    per-tensor scale wastes resolution on; the fold is free at serving
+    time because the static scales are known when the weights quantize."""
+    if a_scale is not None and getattr(a_scale, "ndim", 0) == 1:
+        kf = kernel.astype(jnp.float32) * a_scale[None, :, None]
+        wq, w_scale = quantize_weight_per_channel(kf)
+        xq = jnp.clip(
+            jnp.round(x.astype(jnp.float32) / a_scale), -127, 127
+        ).astype(jnp.int8)
+        out = jax.lax.conv_general_dilated(
+            xq, wq, window_strides=(stride,), padding=[(padding, padding)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32) * w_scale
+        return out + bias if bias is not None else out
     wq, w_scale = quantize_weight_per_channel(kernel.astype(jnp.float32))
     return int8_conv1d(
         x.astype(jnp.float32), wq, w_scale, bias=bias, stride=stride,

@@ -90,11 +90,20 @@ def main():
         jax.random.key(args.seed), jnp.asarray(b0["lengths"]), T,
         edit_mode="benchmark_sparse", trans_length=args.transition_length,
     ) & jnp.asarray(b0["time_mask"])[..., None]
-    params = calibrate_act_scales_trajectory(
-        model8, params, sched, dcfg, motion_rel.shape,
-        {"text_embed": jnp.asarray(b0["text_embed"])},
+    cal_kw = dict(
         guidance_param=cli.guidance, obs_x0=motion_abs, obs_mask=cal_mask,
         seed=args.seed,
+    )
+    params = calibrate_act_scales_trajectory(
+        model8, params, sched, dcfg, motion_rel.shape,
+        {"text_embed": jnp.asarray(b0["text_embed"])}, **cal_kw,
+    )
+    # per-channel static-scale twin (fold-into-weights dequant) — its
+    # act_scale collection is per-Cin vectors, so it calibrates separately
+    model_pc = model8.clone(precision_mode="int8_static_pc")
+    params_pc = calibrate_act_scales_trajectory(
+        model_pc, {"params": params["params"]}, sched, dcfg, motion_rel.shape,
+        {"text_embed": jnp.asarray(b0["text_embed"])}, **cal_kw,
     )
 
     Bs = cli.batch
@@ -114,6 +123,8 @@ def main():
             return lambda x, t, y, **kw: modelf.apply(params, x, t, y, **kw)
         if kind == "int8":
             return lambda x, t, y, **kw: model8.apply(params, x, t, y, **kw)
+        if kind == "int8_pc":
+            return lambda x, t, y, **kw: model_pc.apply(params_pc, x, t, y, **kw)
         if kind == "int8_lastKf":  # float branch when t < K
             def apply_fn(x, t, y, **kw):
                 return jax.lax.cond(
@@ -150,6 +161,7 @@ def main():
 
     run_one("float")
     run_one("int8")
+    run_one("int8_pc")
     for K in k_list:
         run_one("int8_lastKf", K)
         run_one("int8_firstKf", K)

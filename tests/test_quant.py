@@ -475,3 +475,91 @@ class TestMixedStepServing:
                 "--edit_mode", "benchmark_sparse", "--num_samples", "32",
                 "--int8_float_last_k", "50",
             ])
+
+
+class TestPerChannelStaticScales:
+    """'int8_static_pc': per-input-channel static activation scales with
+    fold-into-weights dequant (ops/quant.py rank-1 a_scale path). On inputs
+    whose channel ranges differ by orders of magnitude — exactly what
+    GroupNorm affine spreads produce — a per-tensor scale quantizes the
+    small channels to zero; per-channel scales must recover them."""
+
+    def test_rank1_scale_beats_per_tensor_on_spread_channels(self):
+        from condmdi_tpu.ops.quant import conv1d_f32, quant_conv1d_from_f32
+
+        rng = np.random.default_rng(0)
+        B, T, Cin, Cout, k = 2, 16, 8, 16, 3
+        ch_spread = np.logspace(-2, 1, Cin).astype(np.float32)  # 1000x range
+        x = jnp.asarray(rng.standard_normal((B, T, Cin)).astype(np.float32)
+                        * ch_spread)
+        kernel = jnp.asarray(0.1 * rng.standard_normal((k, Cin, Cout)).astype(np.float32))
+        bias = jnp.asarray(rng.standard_normal((Cout,)).astype(np.float32))
+
+        a_pc = jnp.max(jnp.abs(x), axis=(0, 1)) / 127.0          # [Cin]
+        a_pt = jnp.max(jnp.abs(x)) / 127.0                        # scalar
+
+        out_f = conv1d_f32(x, kernel, bias, padding=1)
+        out_pt = quant_conv1d_from_f32(x, kernel, bias, padding=1, a_scale=a_pt)
+        out_pc = quant_conv1d_from_f32(x, kernel, bias, padding=1, a_scale=a_pc)
+
+        def rel(a):
+            return float(jnp.abs(a - out_f).mean() / (jnp.abs(out_f).mean() + 1e-9))
+
+        assert rel(out_pc) < 0.01, rel(out_pc)
+        # the fold moves part of the burden into the weights (w·s_c spreads
+        # the per-output-channel weight range), so the net gain on mean
+        # output error is bounded — but it must be a strict improvement
+        assert rel(out_pc) < 0.8 * rel(out_pt), (rel(out_pc), rel(out_pt))
+
+    def test_unet_pc_calibrate_and_serve(self):
+        """End-to-end through QConv: calibration records per-Cin vectors,
+        serving stays finite and at least as close to float as per-tensor."""
+        from condmdi_tpu.models.unet import MDM_UNET
+
+        B, T, F = 2, 28, 263
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.standard_normal((B, T, F)).astype(np.float32))
+        t = jnp.full((B,), 300, jnp.int32)
+        y = {"text_embed": jnp.asarray(rng.standard_normal((B, 512)).astype(np.float32))}
+        kw = dict(
+            obs_x0=jnp.asarray(rng.standard_normal((B, T, F)).astype(np.float32) * 0.1),
+            obs_mask=jnp.zeros((B, T, F), bool).at[:, ::7, :].set(True),
+        )
+        mk = lambda mode: MDM_UNET(
+            njoints=F, latent_dim=32, dim_mults=(1, 2),
+            keyframe_conditioned=True, pad_frames_to=32, precision_mode=mode,
+        )
+        mf = mk("float")
+        vs = mf.init(jax.random.key(0), x, t, y, **kw)
+        leaves, td = jax.tree_util.tree_flatten(vs["params"])
+        prng = np.random.default_rng(5)
+        leaves = [
+            l + jnp.asarray(0.05 * prng.standard_normal(l.shape).astype(np.float32))
+            for l in leaves
+        ]
+        params = {"params": jax.tree_util.tree_unflatten(td, leaves)}
+        out_f = np.asarray(mf.apply(params, x, t, y, **kw))
+
+        def calibrated_out(mode):
+            m = mk(mode)
+            v0 = m.init(jax.random.key(0), x, t, y, **kw)
+            v = {"params": params["params"], "act_scale": v0["act_scale"]}
+            _, upd = m.apply(v, x, t, y, **kw, mutable=["act_scale"])
+            v = {"params": params["params"], "act_scale": upd["act_scale"]}
+            return np.asarray(m.apply(v, x, t, y, **kw)), upd["act_scale"]
+
+        out_pt, _ = calibrated_out("int8_static")
+        out_pc, scales_pc = calibrated_out("int8_static_pc")
+
+        # the collection really is per-channel (rank-1 leaves)
+        assert all(
+            np.ndim(a) == 1 for a in jax.tree_util.tree_leaves(scales_pc)
+        )
+        assert np.isfinite(out_pc).all()
+        scale = np.abs(out_f).mean() + 1e-9
+        rel_pc = np.abs(out_pc - out_f).mean() / scale
+        rel_pt = np.abs(out_pt - out_f).mean() / scale
+        # per-channel must not be WORSE than per-tensor (tiny slack for the
+        # folded-weight quantization trade) and stays close to float
+        assert rel_pc <= rel_pt * 1.10, (rel_pc, rel_pt)
+        assert rel_pc < 0.10, rel_pc
