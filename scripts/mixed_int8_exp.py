@@ -42,7 +42,6 @@ def main():
     from condmdi_tpu.diffusion.sampling import SamplerConfig
     from condmdi_tpu.evals.common import load_eval_datasets
     from condmdi_tpu.evals.harness import EvalConfig, generate_eval_batch
-    from condmdi_tpu.models.factory import create_model
     from condmdi_tpu.models.text import make_text_encoder
     from condmdi_tpu.ops.quant import calibrate_act_scales_trajectory
     from condmdi_tpu.sampling.pipeline import SamplePipeline
@@ -71,11 +70,9 @@ def main():
     B = 32
 
     model8, params, sched, dcfg = load_model_for_sampling(args)
-    # float twin sharing the same params tree
-    args_f = parse_args(EvalArgs, [a for a in base_argv if a not in
-                                   ("--precision_mode", "int8_static")])
-    args_f.keyframe_conditioned = True
-    modelf = create_model(args_f)
+    # float twin sharing the same params tree (clone, NOT create_model from
+    # CLI defaults — the checkpoint's args.json decides the architecture)
+    modelf = model8.clone(precision_mode="float")
 
     enc = make_text_encoder(args)
     ds_rel, ds_abs, gt_batches, _ = load_eval_datasets(args, T, B, enc)
