@@ -65,6 +65,14 @@ def main(argv=None):
 
     model, params, sched, dcfg = load_model_for_sampling(args)
 
+    # fingerprint the AS-LOADED weights (before int8 quantization mutates
+    # the tree): identifies which checkpoint contents produced this report,
+    # so the repro gate can distinguish "harness regressed" from "the
+    # out-of-git checkpoint at model_path was retrained/replaced"
+    from condmdi_tpu.utils.checkpoint import params_fingerprint
+
+    fingerprint = params_fingerprint(params) if args.model_path else ""
+
     # Guard (round-3 post-mortem): a model built without keyframe
     # conditioning accepts-and-ignores obs_x0/obs_mask (models/unet.py
     # keyframe_conditioned branch), so the keyframe protocol would silently
@@ -232,6 +240,7 @@ def main(argv=None):
         "edit_mode": args.edit_mode,
         "replications": mode["replication_times"],
         "model_path": args.model_path,
+        "params_fingerprint": fingerprint,
         "model_keyframe_conditioned": model_kc,
         "drop_observations": getattr(args, "drop_observations", False),
         "precision_mode": pmode,

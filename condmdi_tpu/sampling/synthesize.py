@@ -80,12 +80,7 @@ def load_model_for_sampling(args):
                         "the random init; pass --use_ema false or retrain with "
                         "beta matched to the budget"
                     )
-            loaded = (restored.get("ema_params") if use_ema else None) or restored.get("params")
-            # training saves the FULL flax variables dict ({'params': ...},
-            # training/train.py:168) — don't wrap it twice
-            params = loaded if isinstance(loaded, dict) and "params" in loaded else {
-                "params": loaded
-            }
+            params = ckpt.select_eval_params(restored, use_ema)
     return model, params, sched, dcfg
 
 

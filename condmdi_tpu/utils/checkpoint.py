@@ -54,6 +54,54 @@ def parse_step_from_checkpoint(path: str | Path) -> int:
     return int(m.group(1)) if m else 0
 
 
+def select_eval_params(restored: dict, use_ema: bool = True) -> dict:
+    """EMA-preferred param selection (reference model_util.py:168-182).
+
+    One source of truth for "which params does an eval of this checkpoint
+    use" — shared by the sampling loader and by report-fingerprint checks.
+    """
+    loaded = (restored.get("ema_params") if use_ema else None) or restored.get(
+        "params"
+    )
+    # training saves the FULL flax variables dict ({'params': ...},
+    # training/train.py) — don't wrap it twice
+    return loaded if isinstance(loaded, dict) and "params" in loaded else {
+        "params": loaded
+    }
+
+
+def params_fingerprint(params: Any) -> str:
+    """Stable content hash of a parameter pytree.
+
+    Recorded in every eval report's meta: checkpoints live outside git, so
+    a report can outlive (or be orphaned by) the weights that produced it —
+    a retrain into the same path would otherwise make the repro gate compare
+    a stale report against a different model and fail confusingly. Hash =
+    sha256 over leaves in sorted-path order, covering path, shape, dtype,
+    and raw bytes (cast to float32 so bf16/f32 storage of the same values
+    fingerprints identically).
+    """
+    import hashlib
+
+    import jax
+    import numpy as np_
+
+    import jax.numpy as jnp
+
+    h = hashlib.sha256()
+    leaves = jax.tree_util.tree_leaves_with_path(params)
+    for path, leaf in sorted(leaves, key=lambda kv: jax.tree_util.keystr(kv[0])):
+        arr = np_.asarray(leaf)
+        # jnp.issubdtype, not numpy's: bf16 is an ml_dtypes extension type
+        # (numpy kind 'V') that np.issubdtype does not class as floating
+        if jnp.issubdtype(arr.dtype, jnp.floating):
+            arr = np_.asarray(jnp.asarray(arr, jnp.float32))
+        h.update(jax.tree_util.keystr(path).encode())
+        h.update(str(arr.shape).encode())
+        h.update(arr.tobytes())
+    return h.hexdigest()[:16]
+
+
 # --------------------------------------------------------------------------- #
 # Torch layout helpers
 # --------------------------------------------------------------------------- #
