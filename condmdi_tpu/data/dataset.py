@@ -48,6 +48,10 @@ class DatasetConfig:
     std_scale_shift: tuple[float, float] = (1.0, 0.0)
     drop_redundant: bool = False
     fixed_len: int = 0
+    # synthetic-fallback set size; 0 = env $CONDMDI_SYNTHETIC_SIZE or
+    # batch_size*4 (see get_dataset_loader). Plumbed from TrainArgs so the
+    # training data is reproducible from args.json alone.
+    synthetic_size: int = 0
 
 
 class Text2MotionDataset:
@@ -642,11 +646,18 @@ def get_dataset_loader(cfg: DatasetConfig, batch_size: int, text_encoder=None, *
     try:
         ds = Text2MotionDataset(cfg)
     except FileNotFoundError:
-        # $CONDMDI_SYNTHETIC_SIZE overrides (bigger = less memorization when
-        # training gate/proof models on synthetic data)
+        # size priority: explicit cfg.synthetic_size (recorded in args.json,
+        # reproducible) > $CONDMDI_SYNTHETIC_SIZE (legacy env; NOT recorded —
+        # this is how the round-4 retrain lost the 4096-item set) >
+        # batch_size*4 heuristic. Bigger = less memorization when training
+        # gate/proof models on synthetic data.
         import os
 
-        size = int(os.environ.get("CONDMDI_SYNTHETIC_SIZE", 0)) or max(batch_size * 4, 64)
+        size = (
+            cfg.synthetic_size
+            or int(os.environ.get("CONDMDI_SYNTHETIC_SIZE", 0))
+            or max(batch_size * 4, 64)
+        )
         ds = SyntheticMotionDataset(cfg, size=size)
     return DataLoader(
         ds, batch_size, cfg.max_motion_length, text_encoder=text_encoder, **kw

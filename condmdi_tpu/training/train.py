@@ -462,6 +462,7 @@ def main(argv=None):
         augment_type=args.augment_type,
         std_scale_shift=tuple(args.std_scale_shift),
         drop_redundant=args.drop_redundant,
+        synthetic_size=getattr(args, "synthetic_size", 0),
     )
     encoder = make_text_encoder(args)
     loader = get_dataset_loader(

@@ -92,6 +92,13 @@ class DataOptions:
     std_scale_shift: Tuple[float, float] = (1.0, 0.0)
     drop_redundant: bool = False
     num_frames: int = 196
+    # synthetic-fallback training-set size (items). 0 = legacy heuristic
+    # (env $CONDMDI_SYNTHETIC_SIZE, else batch_size*4). Non-zero values are
+    # recorded in args.json so retrain_from_args reproduces the run's data:
+    # the round-4 retrain silently fell back from the lost run's 4096-item
+    # set to 256 items — small enough that text-memorization beat keyframe
+    # conditioning (lower loss, keyframe error WORSE than the zero baseline).
+    synthetic_size: int = 0
 
 
 @dataclass
