@@ -303,6 +303,10 @@ class TrainLoop:
         rng_idx = np.random.default_rng(
             self.args.seed + 17 + 1009 * self.data_loader.process_index
         )
+        from concurrent.futures import ThreadPoolExecutor
+
+        refresh_pool = ThreadPoolExecutor(max_workers=1)
+        refresh_future = None
         step = self.resume_step
         t_last = time.time()
         last_logged = step
@@ -317,7 +321,18 @@ class TrainLoop:
                 # fall back to the single-step path for the tail
                 break
             if refresh and step and (step // refresh) != ((step - K) // refresh):
-                fresh = self._collate_shard()
+                # overlap the host-side re-collate with device compute: at a
+                # refresh boundary swap in the batch a background thread
+                # prepared and immediately start collating the next one.
+                # Training-scale synthetic sets (4096 items) take tens of
+                # host-seconds to collate — done synchronously that stalls
+                # the chip 100× per run. One worker + the main thread not
+                # touching the global numpy RNG between refreshes keeps the
+                # global-RNG draw ORDER identical to the synchronous path.
+                if refresh_future is None:  # first boundary: nothing staged
+                    refresh_future = refresh_pool.submit(self._collate_shard)
+                fresh = refresh_future.result()
+                refresh_future = refresh_pool.submit(self._collate_shard)
                 if fresh is not None:
                     data = fresh
             idx = rng_idx.choice(n, size=(K, B), replace=True)
@@ -340,7 +355,9 @@ class TrainLoop:
                 self.save(step)
                 self.evaluate(step)
                 if os.environ.get("DIFFUSION_TRAINING_TEST", ""):
+                    refresh_pool.shutdown(wait=False, cancel_futures=True)
                     return
+        refresh_pool.shutdown(wait=False, cancel_futures=True)
         # exact tail (num_steps not divisible by K) runs single-step
         if step < self.tcfg.num_steps:
             for batch in self._batches():

@@ -80,6 +80,21 @@ class TestLoader:
         b = next(iter(dl))
         assert b["motion"].shape == (4, 32, 263)
 
+    def test_factory_honors_synthetic_size(self, monkeypatch):
+        # explicit cfg.synthetic_size beats the env var beats the heuristic —
+        # the round-4 retrain regression: an env-only size is NOT recorded in
+        # args.json, so retrain-from-card trained on 256 clips instead of the
+        # lost run's 4096 and memorization beat keyframe conditioning
+        cfg = DatasetConfig(
+            max_motion_length=32, data_dir="/nonexistent", synthetic_size=24
+        )
+        monkeypatch.setenv("CONDMDI_SYNTHETIC_SIZE", "40")
+        assert len(get_dataset_loader(cfg, batch_size=4).dataset) == 24
+        cfg.synthetic_size = 0
+        assert len(get_dataset_loader(cfg, batch_size=4).dataset) == 40
+        monkeypatch.delenv("CONDMDI_SYNTHETIC_SIZE")
+        assert len(get_dataset_loader(cfg, batch_size=4).dataset) == 16
+
 
 class TestPrefetch:
     def test_prefetch_preserves_order_and_errors(self):
