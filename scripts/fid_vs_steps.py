@@ -40,6 +40,12 @@ def main(argv=None):
     # beats 32 x 5 on FID bias at similar cost)
     ap.add_argument("--max_replications", type=int, default=0)
     ap.add_argument("--out", default="")
+    # incremental mode: reuse rows already present in --out (matched by step)
+    # and only evaluate checkpoints not yet in it. Lets a train -> sweep ->
+    # commit loop extend the curve without re-burning chip time on earlier
+    # checkpoints. Only rows generated with identical eval settings are
+    # reusable; on any settings mismatch the old file is ignored wholesale.
+    ap.add_argument("--update", default="false")
     args = ap.parse_args(argv)
 
     import os
@@ -53,8 +59,29 @@ def main(argv=None):
     ckpts = sorted(run_dir.glob("ckpt_*"))
     points = [(0, None)] + [(int(p.name.split("_")[-1]), p) for p in ckpts]
 
+    out_path = Path(args.out) if args.out else run_dir / "fid_vs_steps.json"
+    reused: dict[int, dict] = {}
+    if args.update == "true" and out_path.exists():
+        prev = json.loads(out_path.read_text())
+        settings = dict(
+            eval_mode=args.eval_mode, num_samples=args.num_samples,
+            use_ema=args.use_ema == "true",
+            guidance_param=args.guidance_param,
+            max_replications=args.max_replications,
+            drop_observations=args.drop_observations == "true",
+        )
+        if all(prev.get(k) == v for k, v in settings.items()):
+            reused = {int(r["step"]): r for r in prev.get("rows", [])}
+            print(f"[fid_vs_steps] --update: reusing {len(reused)} rows from {out_path}")
+        else:
+            print("[fid_vs_steps] --update: settings changed, ignoring old rows")
+
     rows = []
     for step, path in points:
+        if step in reused:
+            rows.append(reused[step])
+            print(f"[fid_vs_steps] step {step}: reused committed row")
+            continue
         argv_eval = [
             "--eval_mode", args.eval_mode,
             "--edit_mode", "benchmark_sparse",
@@ -142,7 +169,6 @@ def main(argv=None):
         drop_observations=args.drop_observations == "true",
         zero_baseline_keyframe_error=zero_kf_err, rows=rows,
     )
-    out_path = Path(args.out) if args.out else run_dir / "fid_vs_steps.json"
     out_path.write_text(json.dumps(out, indent=1))
     print(f"[fid_vs_steps] wrote {out_path}")
     return out
