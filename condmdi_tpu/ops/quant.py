@@ -10,12 +10,18 @@ int8 is the next rung past bf16. This module provides:
     fused dequant epilogue,
   * `quantize_params_tree` — one-shot conversion of a conv params tree.
 
-Status: int8 with calibrated static activation scales
-(`precision_mode='int8_static'`) IS the flagship bench headline
-(BENCH_MODEL=unet_int8_static, promoted round 2 after the trained-checkpoint
-quality gate in tests/test_int8_gate.py passed); `int8_prequant` (weights
-stored pre-quantized) is the B=1 serving path. Dynamic int8 remains
-available as a calibration-free fallback.
+Status: int8 is an OPT-IN serving mode, NOT the bench headline. It was
+promoted in round 2 on a keyframe-error-only gate, then DEMOTED to bf16 in
+round 4 when the full 992-sample x 20-replication wo_mm protocol pair showed
+quantization noise compounding over the 1000-step sampling loop (+31%
+keyframe error, +27% FID, +49% trajectory error — see BENCH_NOTES.md round-4
+and tests/test_protocol_delta_gate.py, which machine-checks the decision in
+both directions). `int8_static` (calibrated static activation scales) is the
+fastest variant (~32x baseline); `int8_prequant` (weights stored
+pre-quantized) is the B=1 serving path; dynamic int8 is the calibration-free
+fallback; `int8_static_pc` adds per-input-channel activation scales and
+`int8_float_last_k` runs the final K sampling steps in bf16 — both built to
+attack the compounding-noise failure mode.
 """
 
 from __future__ import annotations

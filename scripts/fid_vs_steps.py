@@ -59,22 +59,52 @@ def main(argv=None):
     ckpts = sorted(run_dir.glob("ckpt_*"))
     points = [(0, None)] + [(int(p.name.split("_")[-1]), p) for p in ckpts]
 
+    def ckpt_id(path):
+        # run identity for the --update reuse gate: a retrain that rewrites a
+        # checkpoint at the same step in the same run_dir must invalidate the
+        # old row (the round-4 256-clip-bug scenario). mtime+size over the
+        # checkpoint tree changes whenever the weights are rewritten.
+        if path is None:
+            return "random_init"
+        files = sorted(p for p in Path(path).rglob("*") if p.is_file())
+        return f"{max((p.stat().st_mtime_ns for p in files), default=0)}:" \
+               f"{sum(p.stat().st_size for p in files)}"
+
+    ids = {step: ckpt_id(path) for step, path in points}
+
     out_path = Path(args.out) if args.out else run_dir / "fid_vs_steps.json"
     reused: dict[int, dict] = {}
     if args.update == "true" and out_path.exists():
-        prev = json.loads(out_path.read_text())
         settings = dict(
             eval_mode=args.eval_mode, num_samples=args.num_samples,
             use_ema=args.use_ema == "true",
             guidance_param=args.guidance_param,
             max_replications=args.max_replications,
             drop_observations=args.drop_observations == "true",
+            run_dir=str(run_dir),
         )
-        if all(prev.get(k) == v for k, v in settings.items()):
-            reused = {int(r["step"]): r for r in prev.get("rows", [])}
-            print(f"[fid_vs_steps] --update: reusing {len(reused)} rows from {out_path}")
-        else:
-            print("[fid_vs_steps] --update: settings changed, ignoring old rows")
+        try:
+            prev = json.loads(out_path.read_text())
+            if all(prev.get(k) == v for k, v in settings.items()):
+                for r in prev.get("rows", []):
+                    step = int(r["step"])
+                    if step not in ids:
+                        print(f"[fid_vs_steps] --update: dropping row for step "
+                              f"{step} (checkpoint no longer exists)")
+                    elif r.get("ckpt_id") != ids[step]:
+                        print(f"[fid_vs_steps] --update: dropping row for step "
+                              f"{step} (checkpoint rewritten since the row was "
+                              f"computed)")
+                    else:
+                        reused[step] = r
+                print(f"[fid_vs_steps] --update: reusing {len(reused)} rows "
+                      f"from {out_path}")
+            else:
+                print("[fid_vs_steps] --update: settings changed, ignoring old rows")
+        except (json.JSONDecodeError, KeyError, TypeError, ValueError) as e:
+            print(f"[fid_vs_steps] --update: prev file unusable ({e!r}), "
+                  "running a fresh sweep")
+            reused = {}
 
     rows = []
     for step, path in points:
@@ -111,6 +141,8 @@ def main(argv=None):
         summary = eval_main(argv_eval)
         row = dict(
             step=step,
+            ckpt_id=ids[step],
+            params_fingerprint=summary.get("params_fingerprint", ""),
             fid=float(np.ravel(summary["fid"]["mean"])[0]),
             keyframe_error=float(np.ravel(summary["keyframe_error"]["mean"])[0]),
             traj_error_mean=float(np.ravel(summary["traj_error"]["mean"])[-1]),

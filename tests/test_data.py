@@ -93,7 +93,10 @@ class TestLoader:
         cfg.synthetic_size = 0
         assert len(get_dataset_loader(cfg, batch_size=4).dataset) == 40
         monkeypatch.delenv("CONDMDI_SYNTHETIC_SIZE")
-        assert len(get_dataset_loader(cfg, batch_size=4).dataset) == 16
+        # no-config fallback floors at 64 (anti-memorization: tiny synthetic
+        # sets let the hash text embedding identify each clip, and
+        # memorization beats keyframe copy-through — the round-4 failure mode)
+        assert len(get_dataset_loader(cfg, batch_size=4).dataset) == 64
 
 
 class TestPrefetch:

@@ -22,6 +22,14 @@ _RUN = Path(__file__).resolve().parent.parent / "save" / "synthetic_unet_m"
 BF16 = _RUN / "eval_benchmark_sparse_wo_mm.json"
 INT8 = _RUN / "eval_benchmark_sparse_wo_mm_int8_static.json"
 
+# round-4 archive: the pair behind the int8 -> bf16 demotion. The generating
+# checkpoint was lost to a disk wipe, so these are read-only evidence — but
+# the DECISION they encode (int8_static fails the protocol gate) must stay
+# machine-checked even while the live parent-dir pair is regenerated.
+_ARCHIVE = _RUN / "stale_r4_lostckpt"
+BF16_R4 = _ARCHIVE / "eval_benchmark_sparse_wo_mm.json"
+INT8_R4 = _ARCHIVE / "eval_benchmark_sparse_wo_mm_int8_static.json"
+
 def _bench_headline_is_int8() -> bool:
     """bench.py's default headline mode (BENCH_MODEL unset)."""
     import re
@@ -140,6 +148,29 @@ def test_int8_promotion_gate_drives_headline():
         # demotion branch: deltas exceed the gate AND the headline is bf16 —
         # the gate held. Nothing to assert beyond internal consistency.
         assert bad
+
+
+def test_archived_r4_pair_justifies_the_demotion():
+    """The round-4 demotion decision, checked against its committed evidence:
+    the archived g1.0 992x20 wo_mm pair must (a) exist, (b) be the same
+    protocol, and (c) show deltas OUTSIDE the promotion gate — otherwise the
+    demotion narrative in BENCH_NOTES/quant.py is unbacked. This runs against
+    the read-only archive regardless of whether the live pair exists yet."""
+    assert BF16_R4.exists() and INT8_R4.exists(), (
+        "the archived round-4 demotion evidence is missing from "
+        f"{_ARCHIVE} — the int8->bf16 demotion decision is unbacked"
+    )
+    b, q = _load(BF16_R4), _load(INT8_R4)
+    for k in ("eval_mode", "edit_mode", "guidance_param", "num_samples",
+              "seed", "evaluator"):
+        assert b["meta"][k] == q["meta"][k], k
+    bad = _delta_violations(b, q)
+    assert bad, (
+        "the archived round-4 pair is INSIDE the promotion gate — the "
+        "demotion to bf16 would have been unjustified; re-examine"
+    )
+    # the specific signature the demotion cited (BENCH_NOTES round-4)
+    assert any("keyframe_error" in v for v in bad), bad
 
 
 @_delta_mark
