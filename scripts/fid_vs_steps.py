@@ -106,56 +106,11 @@ def main(argv=None):
                   "running a fresh sweep")
             reused = {}
 
-    rows = []
-    for step, path in points:
-        if step in reused:
-            rows.append(reused[step])
-            print(f"[fid_vs_steps] step {step}: reused committed row")
-            continue
-        argv_eval = [
-            "--eval_mode", args.eval_mode,
-            "--edit_mode", "benchmark_sparse",
-            "--guidance_param", str(args.guidance_param),
-            "--num_samples", str(args.num_samples),
-            "--use_ema", args.use_ema,
-            "--output_dir", "/tmp/fid_vs_steps_out",
-            "--drop_observations", args.drop_observations,
-        ]
-        if args.max_replications:
-            argv_eval += ["--max_replications", str(args.max_replications)]
-        if path is None:
-            # random init at the run's architecture
-            argv_eval += [
-                "--arch", str(targs.get("arch", "unet")),
-                "--latent_dim", str(targs.get("latent_dim", 128)),
-                "--diffusion_steps", str(targs.get("diffusion_steps", 1000)),
-                "--num_frames", str(targs.get("num_frames", 224)),
-                "--abs_3d", str(targs.get("abs_3d", True)).lower(),
-                "--model_path", "",
-            ]
-            argv_eval += ["--dim_mults"] + [
-                str(int(m)) for m in targs.get("dim_mults", (1, 2, 2))
-            ]
-        else:
-            argv_eval += ["--model_path", str(path)]
-        summary = eval_main(argv_eval)
-        row = dict(
-            step=step,
-            ckpt_id=ids[step],
-            params_fingerprint=summary.get("params_fingerprint", ""),
-            fid=float(np.ravel(summary["fid"]["mean"])[0]),
-            keyframe_error=float(np.ravel(summary["keyframe_error"]["mean"])[0]),
-            traj_error_mean=float(np.ravel(summary["traj_error"]["mean"])[-1]),
-            r_precision=[round(float(x), 4) for x in np.ravel(summary["r_precision"]["mean"])],
-            matching_score=float(np.ravel(summary["matching_score"]["mean"])[0]),
-        )
-        rows.append(row)
-        print(f"[fid_vs_steps] {row}")
-
     # zero-prediction baseline: keyframe/traj error of the all-zeros sample
     # (= the population-mean motion in denormalized space) on the same eval
     # population and benchmark_sparse frames. The final checkpoint must beat
     # this for "the model learned" to mean anything (VERDICT r4 item 1).
+    # Computed BEFORE the sweep so incremental partial writes below carry it.
     import jax
     import jax.numpy as jnp
 
@@ -192,16 +147,85 @@ def main(argv=None):
     )
     print(f"[fid_vs_steps] zero-prediction baseline keyframe error = {zero_kf_err:.4f}")
 
-    out = dict(
-        run_dir=str(run_dir), eval_mode=args.eval_mode,
-        num_samples=args.num_samples, evaluator="trained_synthetic",
-        use_ema=args.use_ema == "true",
-        guidance_param=args.guidance_param,
-        max_replications=args.max_replications,
-        drop_observations=args.drop_observations == "true",
-        zero_baseline_keyframe_error=zero_kf_err, rows=rows,
-    )
-    out_path.write_text(json.dumps(out, indent=1))
+    def write_out(rows):
+        out = dict(
+            run_dir=str(run_dir), eval_mode=args.eval_mode,
+            num_samples=args.num_samples, evaluator="trained_synthetic",
+            use_ema=args.use_ema == "true",
+            guidance_param=args.guidance_param,
+            max_replications=args.max_replications,
+            drop_observations=args.drop_observations == "true",
+            zero_baseline_keyframe_error=zero_kf_err, rows=rows,
+        )
+        out_path.write_text(json.dumps(out, indent=1))
+        return out
+
+    def run_eval(argv_eval, attempts=3):
+        # the remote-compile RPC is occasionally flaky (observed: "response
+        # body closed before all bytes were read" killing a 90-minute sweep
+        # after one point). Bounded retries; anything persistent still raises.
+        import time as _time
+        for a in range(attempts):
+            try:
+                return eval_main(argv_eval)
+            except (jax.errors.JaxRuntimeError, OSError) as e:
+                if a == attempts - 1:
+                    raise
+                print(f"[fid_vs_steps] eval attempt {a + 1} failed ({e!r}); "
+                      "retrying in 30s")
+                _time.sleep(30)
+
+    rows = []
+    for step, path in points:
+        if step in reused:
+            rows.append(reused[step])
+            print(f"[fid_vs_steps] step {step}: reused committed row")
+            continue
+        argv_eval = [
+            "--eval_mode", args.eval_mode,
+            "--edit_mode", "benchmark_sparse",
+            "--guidance_param", str(args.guidance_param),
+            "--num_samples", str(args.num_samples),
+            "--use_ema", args.use_ema,
+            "--output_dir", "/tmp/fid_vs_steps_out",
+            "--drop_observations", args.drop_observations,
+        ]
+        if args.max_replications:
+            argv_eval += ["--max_replications", str(args.max_replications)]
+        if path is None:
+            # random init at the run's architecture
+            argv_eval += [
+                "--arch", str(targs.get("arch", "unet")),
+                "--latent_dim", str(targs.get("latent_dim", 128)),
+                "--diffusion_steps", str(targs.get("diffusion_steps", 1000)),
+                "--num_frames", str(targs.get("num_frames", 224)),
+                "--abs_3d", str(targs.get("abs_3d", True)).lower(),
+                "--model_path", "",
+            ]
+            argv_eval += ["--dim_mults"] + [
+                str(int(m)) for m in targs.get("dim_mults", (1, 2, 2))
+            ]
+        else:
+            argv_eval += ["--model_path", str(path)]
+        summary = run_eval(argv_eval)
+        row = dict(
+            step=step,
+            ckpt_id=ids[step],
+            params_fingerprint=summary.get("params_fingerprint", ""),
+            fid=float(np.ravel(summary["fid"]["mean"])[0]),
+            keyframe_error=float(np.ravel(summary["keyframe_error"]["mean"])[0]),
+            traj_error_mean=float(np.ravel(summary["traj_error"]["mean"])[-1]),
+            r_precision=[round(float(x), 4) for x in np.ravel(summary["r_precision"]["mean"])],
+            matching_score=float(np.ravel(summary["matching_score"]["mean"])[0]),
+        )
+        rows.append(row)
+        print(f"[fid_vs_steps] {row}")
+        # incremental write: a crash mid-sweep (remote-compile flake, OOM,
+        # timeout) preserves every completed point; a --update rerun reuses
+        # them and only recomputes what's missing.
+        write_out(rows)
+
+    out = write_out(rows)
     print(f"[fid_vs_steps] wrote {out_path}")
     return out
 

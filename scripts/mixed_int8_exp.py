@@ -55,6 +55,7 @@ def main():
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--k_list", default="50,250")
     ap.add_argument("--guidance", type=float, default=1.0)
+    ap.add_argument("--out", default="", help="write rows as JSON here")
     cli = ap.parse_args()
     k_list = [int(s) for s in cli.k_list.split(",") if s]
 
@@ -152,16 +153,32 @@ def main():
         kf = M.calculate_keyframe_error(out.keyframe_error, out.num_keyframes)
         tr = M.calculate_trajectory_error(out.dist_error, out.num_keyframes)
         fin = bool(np.isfinite(out.motions_rel).all())
-        print(f"[{kind:>13}] K={K:>4} keyframe_err={float(kf):.4f} "
-              f"traj_mean_err={float(np.ravel(tr)[-1]):.4f} finite={fin}",
+        row = dict(kind=kind, K=K, keyframe_error=float(kf),
+                   traj_error_mean=float(np.ravel(tr)[-1]), finite=fin)
+        print(f"[{kind:>13}] K={K:>4} keyframe_err={row['keyframe_error']:.4f} "
+              f"traj_mean_err={row['traj_error_mean']:.4f} finite={fin}",
               flush=True)
+        return row
 
-    run_one("float")
-    run_one("int8")
-    run_one("int8_pc")
+    import json
+
+    rows = []
+
+    def record(kind, K=0):
+        rows.append(run_one(kind, K))
+        if cli.out:
+            # incremental write: a crash preserves completed rows
+            Path(cli.out).write_text(json.dumps(dict(
+                ckpt=cli.ckpt, batch=cli.batch, guidance=cli.guidance,
+                num_samples=32, sampler="ddpm_1000", rows=rows,
+            ), indent=1))
+
+    record("float")
+    record("int8")
+    record("int8_pc")
     for K in k_list:
-        run_one("int8_lastKf", K)
-        run_one("int8_firstKf", K)
+        record("int8_lastKf", K)
+        record("int8_firstKf", K)
 
 
 if __name__ == "__main__":
