@@ -57,6 +57,8 @@ def build_parser():
     p.add_argument("--transition_length", type=int, default=10)
     p.add_argument("--guidance_param", type=float, default=2.5)
     p.add_argument("--num_samples", type=int, default=1000)
+    p.add_argument("--max_replications", type=int, default=0,
+                   help="cap protocol replications (smoke/rehearsal runs)")
     p.add_argument("--output_dir", default="save/eval_out")
     return p
 
@@ -110,7 +112,7 @@ def main(argv=None):
 
     from condmdi_tpu.evals.run import main as eval_main
 
-    summary = eval_main([
+    argv_eval = [
         "--eval_mode", args.eval_mode,
         "--model_path", args.model_pt,
         "--edit_mode", args.edit_mode,
@@ -118,7 +120,10 @@ def main(argv=None):
         "--guidance_param", str(args.guidance_param),
         "--num_samples", str(args.num_samples),
         "--output_dir", args.output_dir,
-    ])
+    ]
+    if args.max_replications:
+        argv_eval += ["--max_replications", str(args.max_replications)]
+    summary = eval_main(argv_eval)
 
     expected = json.loads(Path(args.expected).read_text())
     rows = compare(summary, expected)

@@ -182,6 +182,44 @@ class TestParityRehearsal:
         report = json.loads((tmp_path / "out" / "parity_report.json").read_text())
         assert "fid" in report["summary_keys"]
 
+    def test_wo_mm_protocol_from_converted_checkpoint(
+        self, tmp_path, monkeypatch, reference_path
+    ):
+        """VERDICT r4 task 9: asset day must produce a reference-comparable
+        wo_mm protocol report from the converted reference .pt in ONE
+        command — not just the debug-mode smoke above. Asserts the report
+        carries the full repro surface (per_replication, params_fingerprint,
+        replication-level conf intervals) so it would bind to
+        tests/test_report_repro.py's scheme the day it is committed."""
+        _fake_glove(tmp_path)
+        _fake_finest_tar(tmp_path)
+        _fake_model_pt(tmp_path, reference_path)
+        _fake_humanml_tree(tmp_path)
+        monkeypatch.chdir(tmp_path)
+
+        from condmdi_tpu.evals.parity import main
+
+        out = main([
+            "--eval_mode", "wo_mm",
+            "--num_samples", "32",
+            "--max_replications", "2",
+            "--output_dir", str(tmp_path / "out"),
+        ])
+        assert out["status"] == "blocked_expected", out["status"]
+        report_path = tmp_path / "out" / "eval_benchmark_sparse_wo_mm.json"
+        assert report_path.exists(), list((tmp_path / "out").iterdir())
+        report = json.loads(report_path.read_text())
+        meta = report["meta"]
+        assert meta["eval_mode"] == "wo_mm"
+        assert meta["model_path"].endswith("model000750000.pt")
+        assert meta["params_fingerprint"], "converted .pt must fingerprint"
+        assert meta["replications"] == 2
+        assert "per_replication" in report
+        # protocol metrics present with replication-level conf intervals
+        for key in ("fid", "keyframe_error", "traj_error", "diversity",
+                    "r_precision", "matching_score", "skating_ratio"):
+            assert key in report and "conf" in report[key], key
+
     def test_compare_logic(self):
         from condmdi_tpu.evals.parity import compare
 
