@@ -218,7 +218,9 @@ def extract_features(
             axis=-1,
         )
     else:
-        r_velocity = jnp.arcsin(r_velocity_q[:, 2:3])
+        # clamped: |z| can exceed 1 by float error (or wildly for degenerate
+        # frames whose forward direction flips) — arcsin must stay finite
+        r_velocity = jnp.arcsin(jnp.clip(r_velocity_q[:, 2:3], -1.0, 1.0))
         l_velocity = velocity[:, (0, 2)]
         root_data = jnp.concatenate([r_velocity, l_velocity, root_y[:-1]], axis=-1)
 

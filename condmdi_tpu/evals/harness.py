@@ -204,6 +204,17 @@ def generate_eval_batch(
         np.asarray(abs3d_to_rel(sample, abs_stats, rel_stats)) if model_is_abs
         else np.asarray(sample)
     )
+    if not np.isfinite(motions_rel).all():
+        # fail HERE with the cause (round-5 battery: one degenerate
+        # generated clip NaN'd the abs->rel IK before the geometry guards
+        # made it total; the crash pointed at scipy's matching-score norm)
+        bad = np.where(~np.isfinite(motions_rel).all(axis=(1, 2)))[0]
+        raise FloatingPointError(
+            f"abs3d_to_rel produced non-finite rel features for batch rows "
+            f"{bad.tolist()} — joints were finite, so this is a conversion "
+            "regression (geometry guards: quaternion.qbetween, "
+            "skeleton.inverse_kinematics eps normalizations)"
+        )
     return GeneratedBatch(
         motions_rel=motions_rel,
         lengths=np.asarray(batch["lengths"]),

@@ -69,19 +69,30 @@ def qfix(q: Array) -> Array:
 
 
 def qbetween(v0: Array, v1: Array, eps: float = 1e-12) -> Array:
-    """Quaternion rotating v0 into v1. Both (*, 3); returns (*, 4)."""
+    """Quaternion rotating v0 into v1. Both (*, 3); returns (*, 4).
+
+    Total: a zero input direction has no defined rotation — return the
+    identity quaternion instead of the zero quaternion. Degenerate inputs
+    (a generated pose with coincident joints) must yield garbage-but-finite
+    features downstream, not NaN the whole eval batch.
+    """
     v = jnp.cross(v0, v1)
-    w = jnp.sqrt(
+    n0n1 = jnp.sqrt(
         jnp.sum(v0 * v0, axis=-1, keepdims=True)
         * jnp.sum(v1 * v1, axis=-1, keepdims=True)
-    ) + jnp.sum(v0 * v1, axis=-1, keepdims=True)
-    return qnormalize(jnp.concatenate([w, v], axis=-1), eps=eps)
+    )
+    w = n0n1 + jnp.sum(v0 * v1, axis=-1, keepdims=True)
+    q = qnormalize(jnp.concatenate([w, v], axis=-1), eps=eps)
+    identity = jnp.zeros_like(q).at[..., 0].set(1.0)
+    return jnp.where(n0n1 > eps, q, identity)
 
 
 def quaternion_to_matrix(q: Array) -> Array:
     """(*, 4) quaternion (not necessarily unit) → (*, 3, 3) rotation matrix."""
     r, i, j, k = (q[..., n] for n in range(4))
-    two_s = 2.0 / jnp.sum(q * q, axis=-1)
+    # guarded: the zero quaternion (degenerate IK input) must map to a
+    # finite (garbage) matrix, not inf
+    two_s = 2.0 / jnp.maximum(jnp.sum(q * q, axis=-1), 1e-12)
     o = jnp.stack(
         [
             1 - two_s * (j * j + k * k),

@@ -202,12 +202,20 @@ class Skeleton:
         across = (joints[:, r_hip] - joints[:, l_hip]) + (
             joints[:, sdr_r] - joints[:, sdr_l]
         )
-        across = across / jnp.linalg.norm(across, axis=-1, keepdims=True)
+        # eps-guarded normalizations throughout the IK: generated (not
+        # mocap) poses can collapse joints onto each other; the features of
+        # such frames are garbage either way, but they must be FINITE
+        # garbage or one bad frame NaNs the whole eval batch downstream
+        across = across / jnp.maximum(
+            jnp.linalg.norm(across, axis=-1, keepdims=True), 1e-8
+        )
         up = jnp.asarray([0.0, 1.0, 0.0], dtype=joints.dtype)
         forward = jnp.cross(jnp.broadcast_to(up, across.shape), across)
         if smooth_forward:
             forward = _gaussian_filter1d(forward, sigma=20.0, axis=0)
-        forward = forward / jnp.linalg.norm(forward, axis=-1, keepdims=True)
+        forward = forward / jnp.maximum(
+            jnp.linalg.norm(forward, axis=-1, keepdims=True), 1e-8
+        )
 
         target = jnp.asarray([0.0, 0.0, 1.0], dtype=joints.dtype)
         root_quat = qbetween(forward, jnp.broadcast_to(target, forward.shape))
@@ -222,7 +230,9 @@ class Skeleton:
                 j_child, j_par = chain[i + 1], chain[i]
                 u = jnp.broadcast_to(offsets[j_child], joints[:, 0].shape)
                 v = joints[:, j_child] - joints[:, j_par]
-                v = v / jnp.linalg.norm(v, axis=-1, keepdims=True)
+                v = v / jnp.maximum(
+                    jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-8
+                )
                 rot_u_v = qbetween(u, v)
                 local = qmul(qinv(rot), rot_u_v)
                 quats[j_child] = local

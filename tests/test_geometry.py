@@ -201,3 +201,62 @@ class TestSkeletonGolden:
         )
         # fp32 gaussian smoothing vs scipy float64 carries ~1e-3 inherent diff
         np.testing.assert_allclose(ours, theirs, atol=5e-3)
+
+
+class TestDegenerateInputsStayFinite:
+    """Round-5 regression: the live wo_mm battery leg crashed deep in
+    scipy's matching-score norm because ONE generated clip with (near-)
+    coincident joints NaN'd the whole batch through the IK's unguarded
+    normalizations (skeleton.py across/forward/bone), qbetween's zero
+    quaternion, quaternion_to_matrix's 2/|q|^2, and the root-velocity
+    arcsin. Generated (not mocap) poses can always degenerate; the feature
+    math must be TOTAL — garbage-but-finite on garbage input, never NaN."""
+
+    def test_qbetween_zero_vector_is_identity(self):
+        from condmdi_tpu.geometry import qbetween
+
+        z = jnp.zeros((5, 3))
+        t = jnp.broadcast_to(jnp.asarray([0.0, 0.0, 1.0]), (5, 3))
+        q = np.asarray(qbetween(z, t))
+        np.testing.assert_allclose(q, np.tile([1.0, 0, 0, 0], (5, 1)))
+        q2 = np.asarray(qbetween(t, z))
+        np.testing.assert_allclose(q2, np.tile([1.0, 0, 0, 0], (5, 1)))
+        # non-degenerate inputs are untouched by the totality fallback
+        v0 = jnp.asarray([[1.0, 0.0, 0.0]])
+        q3 = np.asarray(qbetween(v0, t[:1]))
+        # x-hat -> z-hat is a 90 degree rotation about -y
+        np.testing.assert_allclose(
+            q3, [[np.cos(np.pi / 4), 0.0, -np.sin(np.pi / 4), 0.0]], atol=1e-6
+        )
+
+    def test_extract_features_degenerate_frames_finite(self):
+        from condmdi_tpu.data.humanml_repr import extract_features
+
+        rng = np.random.default_rng(0)
+        j = rng.standard_normal((24, 22, 3)).astype(np.float32) * 0.3
+        j[:, :, 1] += 1.0
+        j[10:14] = j[10:14, 0:1, :]  # collapse all joints onto the root
+        f = np.asarray(extract_features(jnp.asarray(j), 0.002))
+        assert np.isfinite(f).all()
+        # the fully-degenerate clip too
+        f0 = np.asarray(extract_features(jnp.zeros((24, 22, 3)), 0.002))
+        assert np.isfinite(f0).all()
+
+    def test_abs3d_to_rel_degenerate_sample_finite(self):
+        """The exact eval-path composition that crashed: normalized abs
+        features whose recovered joints degenerate -> rel features."""
+        from condmdi_tpu.data.convert import abs3d_to_rel
+        from condmdi_tpu.data.dataset import DatasetConfig, SyntheticMotionDataset
+
+        ds_rel = SyntheticMotionDataset(
+            DatasetConfig(max_motion_length=32, abs_3d=False, split="test"), size=2
+        )
+        ds_abs = SyntheticMotionDataset(
+            DatasetConfig(max_motion_length=32, abs_3d=True, split="test"), size=2
+        )
+        # a sample that denormalizes to the all-zero feature vector: its ric
+        # channels put every joint at the origin (coincident) per frame
+        zero_feats = -jnp.asarray(ds_abs.stats.mean) / jnp.asarray(ds_abs.stats.std)
+        sample = jnp.broadcast_to(zero_feats, (2, 32, zero_feats.shape[-1]))
+        rel = np.asarray(abs3d_to_rel(sample, ds_abs.stats, ds_rel.stats))
+        assert np.isfinite(rel).all()
