@@ -246,16 +246,14 @@ def check_against_golden(which: str, slice_: np.ndarray, atol: float):
     return bool(err <= atol), err
 
 
-def main() -> None:
-    import jax
+def build_run(which: str, B: int):
+    """The jitted 1000-step bench program + its concrete inputs.
 
-    # persistent compilation cache: the 1000-step scan costs ~20 min to
-    # compile cold on the remote TPU compiler; cache hits make reruns fast
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
-    except Exception:
-        pass
+    Shared by main() and scripts/precompile_bench.py: both construct the
+    program through this one function so the AOT-precompiled executable's
+    HLO is identical to what main() dispatches (persistent-cache hit).
+    """
+    import jax
     import jax.numpy as jnp
 
     from condmdi_tpu.diffusion import (
@@ -265,15 +263,7 @@ def main() -> None:
     )
     from condmdi_tpu.diffusion.sampling import SamplerConfig, ddpm_sample_loop
 
-    B = int(os.environ.get("BENCH_BATCH", "64"))
-    # Headline = bf16 (round-4 demotion): the int8_static path is 1.7x
-    # faster but FAILED the protocol-level promotion gate on the g1.0
-    # 1000-sample wo_mm pair (keyframe error +31%, FID +27%, traj +49% —
-    # tests/test_protocol_delta_gate.py, BENCH_NOTES.md round-4). int8
-    # stays available via BENCH_MODEL=unet_int8{,_static}.
-    which = os.environ.get("BENCH_MODEL", "unet")
     STEPS = 1000
-
     model, params, y, obs_x0, obs_mask, label = build_bench_model(which, B)
 
     # bf16 params + activations: TPU-native precision for inference
@@ -316,6 +306,30 @@ def main() -> None:
         return ddpm_sample_loop(
             denoise, sched, dcfg, (B, T, F), key, sampler=SamplerConfig()
         )
+
+    return run, params, y, obs_x0, obs_mask, label
+
+
+def main() -> None:
+    import jax
+
+    # persistent compilation cache: the 1000-step scan costs ~20 min to
+    # compile cold on the remote TPU compiler; cache hits make reruns fast
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
+
+    B = int(os.environ.get("BENCH_BATCH", "64"))
+    # Headline = bf16 (round-4 demotion): the int8_static path is 1.7x
+    # faster but FAILED the protocol-level promotion gate on the g1.0
+    # 1000-sample wo_mm pair (keyframe error +31%, FID +27%, traj +49% —
+    # tests/test_protocol_delta_gate.py, BENCH_NOTES.md round-4). int8
+    # stays available via BENCH_MODEL=unet_int8{,_static}.
+    which = os.environ.get("BENCH_MODEL", "unet")
+
+    run, params, y, obs_x0, obs_mask, label = build_run(which, B)
 
     # warmup/compile
     out = run(params, y, obs_x0, obs_mask, jax.random.key(0))
