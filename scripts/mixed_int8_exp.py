@@ -56,6 +56,9 @@ def main():
     ap.add_argument("--k_list", default="50,250")
     ap.add_argument("--guidance", type=float, default=1.0)
     ap.add_argument("--out", default="", help="write rows as JSON here")
+    ap.add_argument("--skip_pc", default="false",
+                    help="skip the int8_static_pc row (one fewer ~20-min "
+                         "remote compile when the round's chip-time is short)")
     cli = ap.parse_args()
     k_list = [int(s) for s in cli.k_list.split(",") if s]
 
@@ -98,11 +101,15 @@ def main():
     )
     # per-channel static-scale twin (fold-into-weights dequant) — its
     # act_scale collection is per-Cin vectors, so it calibrates separately
-    model_pc = model8.clone(precision_mode="int8_static_pc")
-    params_pc = calibrate_act_scales_trajectory(
-        model_pc, {"params": params["params"]}, sched, dcfg, motion_rel.shape,
-        {"text_embed": jnp.asarray(b0["text_embed"])}, **cal_kw,
-    )
+    # (the calibration itself runs a full trajectory: skip with --skip_pc)
+    model_pc = params_pc = None
+    if cli.skip_pc != "true":
+        model_pc = model8.clone(precision_mode="int8_static_pc")
+        params_pc = calibrate_act_scales_trajectory(
+            model_pc, {"params": params["params"]}, sched, dcfg,
+            motion_rel.shape,
+            {"text_embed": jnp.asarray(b0["text_embed"])}, **cal_kw,
+        )
 
     Bs = cli.batch
     batch = {k: (v[:Bs] if hasattr(v, "__getitem__") and not isinstance(v, dict)
@@ -175,7 +182,8 @@ def main():
 
     record("float")
     record("int8")
-    record("int8_pc")
+    if cli.skip_pc != "true":
+        record("int8_pc")
     for K in k_list:
         record("int8_lastKf", K)
         record("int8_firstKf", K)
