@@ -376,6 +376,12 @@ def main() -> None:
     if verified is not None:
         record["verified_vs_cpu_golden"] = verified
     print(json.dumps(record))
+    # BENCH_OUT: also write the record to a file (battery legs run with
+    # stdout redirected to a shared log)
+    out_path = os.environ.get("BENCH_OUT")
+    if out_path:
+        with open(out_path, "w") as fh:
+            fh.write(json.dumps(record) + "\n")
 
 
 if __name__ == "__main__":
