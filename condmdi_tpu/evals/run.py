@@ -229,6 +229,9 @@ def main(argv=None):
         evaluator, gt_batches, generate_fn, cfg, vec, str(log_file),
         generate_mm_fn=generate_mm_fn if mode["run_mm"] else None,
     )
+    # programmatic callers (scripts/fid_vs_steps.py rows) need the identity
+    # of the weights too, not just the report file's meta block
+    summary["params_fingerprint"] = fingerprint
     print_summary(summary)
 
     write_report_meta(log_file, {
