@@ -121,6 +121,8 @@ def write_report_meta(log_file: Path, meta: dict) -> None:
 
 def print_summary(summary: dict) -> None:
     for k, v in summary.items():
+        if not isinstance(v, dict) or "mean" not in v:
+            continue  # identity fields (params_fingerprint), not metrics
         print(f"{k}: {v['mean']} ± {v['conf']}")
 
 

@@ -229,10 +229,12 @@ def main(argv=None):
         evaluator, gt_batches, generate_fn, cfg, vec, str(log_file),
         generate_mm_fn=generate_mm_fn if mode["run_mm"] else None,
     )
-    # programmatic callers (scripts/fid_vs_steps.py rows) need the identity
-    # of the weights too, not just the report file's meta block
-    summary["params_fingerprint"] = fingerprint
     print_summary(summary)
+    # programmatic callers (scripts/fid_vs_steps.py rows) need the identity
+    # of the weights too, not just the report file's meta block. AFTER
+    # print_summary: that printer iterates metric dicts (round-5 battery
+    # take-3 int8 leg crashed on the string before its meta was written)
+    summary["params_fingerprint"] = fingerprint
 
     write_report_meta(log_file, {
         "protocol": "condmdi",
