@@ -5,8 +5,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Default model (the headline): CondMDI's keyframe-conditioned UNet-XL — the
 paper's flagship conditional model on its own benchmark task — in bf16 with
 the tight TPU pad (pad 200 vs the reference's 224, -10.7% FLOPs; the output
-is the same 196 frames). Measured ≈5.2 samples/s/chip ≈ 19× baseline,
-verified against a committed CPU golden trajectory every run.
+is the same 196 frames) at the saturating batch (128, round-5 probe).
+Measured ≈5.31 samples/s/chip ≈ 19.1× baseline, verified against a
+committed CPU golden trajectory every run.
 
 Round-4 demotion: the int8_static serving path is ≈1.7× faster (≈8.9 ≈ 32×
 at pad 200) but FAILED the protocol-level promotion gate — on the g1.0
@@ -24,7 +25,7 @@ available and unit-gated:
 dynamic-scale int8 (≈7.2 ≈ 26×), `mdm` = the MDM transformer encoder
 north-star config (Pallas fused attention, ≈7.5 ≈ 27×), `mdm_int8`.
 `BENCH_PAD=224` restores the reference-shaped interior. `BENCH_BATCH`
-overrides batch (64).
+overrides batch (128).
 
 Baseline derivation: the reference's paper eval (eval_humanml_condmdi wo_mm:
 1000 samples × 20 replications of 196-frame 1000-step DDPM sampling) takes
@@ -321,7 +322,10 @@ def main() -> None:
     except Exception:
         pass
 
-    B = int(os.environ.get("BENCH_BATCH", "64"))
+    # default 128: the round-5 saturation probe measured B=128 at 5.312
+    # samples/s vs B=64's 5.192 (+2.3%, golden-verified) — the MXU is
+    # slightly better fed at the larger batch; BENCH_BATCH overrides
+    B = int(os.environ.get("BENCH_BATCH", "128"))
     # Headline = bf16 (round-4 demotion): the int8_static path is 1.7x
     # faster but FAILED the protocol-level promotion gate on the g1.0
     # 1000-sample wo_mm pair (keyframe error +31%, FID +27%, traj +49% —
