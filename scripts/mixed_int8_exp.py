@@ -59,6 +59,11 @@ def main():
     ap.add_argument("--skip_pc", default="false",
                     help="skip the int8_static_pc row (one fewer ~20-min "
                          "remote compile when the round's chip-time is short)")
+    ap.add_argument("--skip_first", default="false",
+                    help="skip the int8_firstKf rows (the K=50 screening "
+                         "showed a float HEAD is useless: 1.035 vs pure "
+                         "int8's 1.028 keyframe error — only the float "
+                         "TAIL matters)")
     cli = ap.parse_args()
     k_list = [int(s) for s in cli.k_list.split(",") if s]
 
@@ -186,7 +191,8 @@ def main():
         record("int8_pc")
     for K in k_list:
         record("int8_lastKf", K)
-        record("int8_firstKf", K)
+        if cli.skip_first != "true":
+            record("int8_firstKf", K)
 
 
 if __name__ == "__main__":
