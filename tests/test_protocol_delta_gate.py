@@ -21,6 +21,10 @@ import pytest
 _RUN = Path(__file__).resolve().parent.parent / "save" / "synthetic_unet_m"
 BF16 = _RUN / "eval_benchmark_sparse_wo_mm.json"
 INT8 = _RUN / "eval_benchmark_sparse_wo_mm_int8_static.json"
+# the float-tail mixed-step candidate (round-5 finding: the last ~250 steps
+# carry virtually all of int8's conditioning damage; a float tail recovers
+# float-level quality at ~1.45x the bf16 speed)
+F250 = _RUN / "eval_benchmark_sparse_wo_mm_int8_static_f250.json"
 
 # round-4 archive: the pair behind the int8 -> bf16 demotion. The generating
 # checkpoint was lost to a disk wipe, so these are read-only evidence — but
@@ -30,13 +34,23 @@ _ARCHIVE = _RUN / "stale_r4_lostckpt"
 BF16_R4 = _ARCHIVE / "eval_benchmark_sparse_wo_mm.json"
 INT8_R4 = _ARCHIVE / "eval_benchmark_sparse_wo_mm_int8_static.json"
 
-def _bench_headline_is_int8() -> bool:
+def _bench_headline() -> str:
     """bench.py's default headline mode (BENCH_MODEL unset)."""
     import re
 
     src = (Path(__file__).resolve().parent.parent / "bench.py").read_text()
     m = re.search(r'os\.environ\.get\("BENCH_MODEL",\s*"([^"]+)"\)', src)
-    return bool(m) and "int8" in m.group(1)
+    return m.group(1) if m else "unet"
+
+
+def _bench_headline_is_int8() -> bool:
+    return "int8" in _bench_headline()
+
+
+def _headline_int8_report() -> Path:
+    """The protocol report that must back the CURRENT headline flavor:
+    the mixed-step pair for unet_int8_mixed, the pure pair otherwise."""
+    return F250 if _bench_headline() == "unet_int8_mixed" else INT8
 
 
 def test_int8_headline_requires_protocol_artifacts():
@@ -46,10 +60,10 @@ def test_int8_headline_requires_protocol_artifacts():
     the delta checks below."""
     if not _bench_headline_is_int8():
         pytest.skip("bench headline is not int8 — protocol delta gate not required")
-    missing = [p.name for p in (BF16, INT8) if not p.exists()]
+    missing = [p.name for p in (BF16, _headline_int8_report()) if not p.exists()]
     assert not missing, (
-        f"bench.py headlines int8 but the wo_mm protocol artifacts {missing} "
-        f"are absent under {_RUN} — run scripts/round4_battery.sh legs 2-3 "
+        f"bench.py headlines {_bench_headline()} but the wo_mm protocol "
+        f"artifacts {missing} are absent under {_RUN} — regenerate the pair "
         "(or demote the headline to bf16)"
     )
 
@@ -126,20 +140,25 @@ def _delta_violations(b, q):
 
 @_delta_mark
 def test_int8_promotion_gate_drives_headline():
-    """The gate in BOTH directions: if bench.py headlines the int8 path, the
-    committed protocol deltas MUST be inside the gate; if the deltas exceed
-    the gate, the headline MUST NOT be int8 (round-4 outcome: the g1.0
-    1000-sample pair showed keyframe error +31% / FID +27% / traj +49%, so
-    the headline was demoted to bf16 — see BENCH_NOTES.md round-4)."""
+    """The gate in BOTH directions: if bench.py headlines an int8 path, the
+    committed protocol deltas of THAT path's pair MUST be inside the gate;
+    if the pure-int8 deltas exceed the gate, the headline MUST NOT be pure
+    int8 (round-4 outcome: keyframe error +31% / FID +27% / traj +49% →
+    demoted to bf16; round-5: the live pair replicates it at +28%/+9%/+50%,
+    while the float-tail K=250 pair is the promotion candidate)."""
+    if _bench_headline_is_int8():
+        qpath = _headline_int8_report()
+        b, q = _load(BF16), _load(qpath)
+        bad = _delta_violations(b, q)
+        assert not bad, (
+            f"bench.py headlines {_bench_headline()} but {qpath.name}'s "
+            f"protocol deltas exceed the promotion gate: {bad} — demote the "
+            "headline to bf16 or fix the int8 path"
+        )
+        return
     b, q = _load(BF16), _load(INT8)
     bad = _delta_violations(b, q)
-    if _bench_headline_is_int8():
-        assert not bad, (
-            "bench.py headlines int8 but the committed wo_mm protocol deltas "
-            f"exceed the promotion gate: {bad} — demote the headline to bf16 "
-            "or fix the int8 path"
-        )
-    elif not bad:
+    if not bad:
         # deltas are inside the gate yet the headline is bf16 — promotion is
         # allowed (not forced); record the fact so it is visible in -v runs.
         pytest.skip(f"int8 deltas inside gate ({BF16.name} vs {INT8.name}); "
@@ -187,3 +206,17 @@ def test_bf16_numbers_are_discriminative():
     # ±0.004 replication conf — still >3 sigma above chance).
     assert top3 > 3 / 32 + max(0.01, 3 * conf3), (top1, top2, top3, conf3)
     assert not math.isnan(_mean(b, "fid"))
+
+
+@pytest.mark.skipif(not (BF16.exists() and F250.exists()),
+                    reason="float-tail K=250 pair absent")
+def test_f250_pair_is_same_protocol():
+    """The promotion-candidate pair must be protocol-identical to the bf16
+    anchor and self-describe its mixed-step configuration."""
+    b, q = _load(BF16), _load(F250)
+    for k in ("eval_mode", "edit_mode", "model_path", "guidance_param",
+              "num_samples", "seed", "evaluator"):
+        assert b["meta"][k] == q["meta"][k], k
+    assert q["meta"]["precision_mode"] == "int8_static"
+    assert q["meta"]["int8_float_last_k"] == 250
+    assert b["meta"]["evaluator"] != "random_init"
