@@ -3,29 +3,34 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 Default model (the headline): CondMDI's keyframe-conditioned UNet-XL — the
-paper's flagship conditional model on its own benchmark task — in bf16 with
-the tight TPU pad (pad 200 vs the reference's 224, -10.7% FLOPs; the output
-is the same 196 frames) at the saturating batch (128, round-5 probe).
-Measured ≈5.31 samples/s/chip ≈ 19.1× baseline, verified against a
+paper's flagship conditional model on its own benchmark task — on the
+FLOAT-TAIL MIXED-STEP int8 serving path (round-5 promotion): int8_static
+weights+activations for the first 750 DDPM steps, the float twin of the
+same params for the last 250 (where the round-5 K-sweep showed virtually
+all of int8's conditioning damage accrues), tight TPU pad (200 vs the
+reference's 224, -10.7% FLOPs; same 196-frame output), batch 128.
+Measured ≈7.62 samples/s/chip ≈ 27.4× baseline, verified against a
 committed CPU golden trajectory every run.
 
-Round-4 demotion: the int8_static serving path is ≈1.7× faster (≈8.9 ≈ 32×
-at pad 200) but FAILED the protocol-level promotion gate — on the g1.0
-1000-sample wo_mm pair through the trained evaluator its keyframe error is
-+31%, FID +27%, traj error +49% vs bf16 (tests/test_protocol_delta_gate.py,
-BENCH_NOTES.md round-4). Per the promotion rule (speedups only headline if
-protocol quality is preserved), the headline is bf16; the int8 paths remain
-available and unit-gated:
+Promotion evidence (round 5, the promotion rule: speedups only headline if
+protocol quality is preserved): the g1.0 992×20 wo_mm protocol pair vs
+bf16 is inside the gate on EVERY metric — FID +0.08%, keyframe error
+-0.10%, diversity -0.03%, traj error +0.85%, matching +0.28%
+(tests/test_protocol_delta_gate.py binds the committed pair and FAILS the
+suite if the headline outruns its evidence). Pure int8_static (≈8.9 ≈ 32×)
+remains quality-demoted: keyframe error +31%/FID +27% in round 4,
+replicated +28%/+9% on the live round-5 pair. Unit gates:
   (1) whole-sampler DDIM trajectory closeness int8-vs-bf16
       (tests/test_quant.py::TestInt8WholeSampler, TestInt8StaticScales), and
   (2) keyframe-error delta vs bf16 on the committed synthetic-trained
       conditional checkpoint (tests/test_int8_gate.py — binding only while
       an int8 mode headlines).
-`BENCH_MODEL` overrides: `unet_int8_static` (≈8.9 ≈ 32×), `unet_int8` =
+`BENCH_MODEL` overrides: `unet` = bf16 (5.31 ≈ 19.1×), `unet_int8_static`
+(≈8.9-9.0 ≈ 32×; `unet_int8_static_pc` = per-channel 9.03), `unet_int8` =
 dynamic-scale int8 (≈7.2 ≈ 26×), `mdm` = the MDM transformer encoder
-north-star config (Pallas fused attention, ≈7.5 ≈ 27×), `mdm_int8`.
-`BENCH_PAD=224` restores the reference-shaped interior. `BENCH_BATCH`
-overrides batch (128).
+(Pallas fused attention, ≈7.5 ≈ 27×), `mdm_int8`. `BENCH_FLOAT_LAST_K`
+sets the float tail (250). `BENCH_PAD=224` restores the reference-shaped
+interior. `BENCH_BATCH` overrides batch (128).
 
 Baseline derivation: the reference's paper eval (eval_humanml_condmdi wo_mm:
 1000 samples × 20 replications of 196-frame 1000-step DDPM sampling) takes
@@ -128,7 +133,7 @@ def build_bench_model(which: str, B: int):
             "float": " bf16",
         }[mode]
         if which == "unet_int8_mixed":
-            k = int(os.environ.get("BENCH_FLOAT_LAST_K", "50"))
+            k = int(os.environ.get("BENCH_FLOAT_LAST_K", "250"))
             label = ("CondMDI UNet-XL keyframe-conditioned int8 mixed-step "
                      f"serving path (last {k} steps float)")
     return model, params, y, obs_x0, obs_mask, label
@@ -285,7 +290,7 @@ def build_run(which: str, B: int):
     if which == "unet_int8_mixed":
         # float twin sharing the same params tree; lax.cond picks per step
         model_float = model.clone(precision_mode="float")
-        k_float = int(os.environ.get("BENCH_FLOAT_LAST_K", "50"))
+        k_float = int(os.environ.get("BENCH_FLOAT_LAST_K", "250"))
 
     @jax.jit
     def run(params, y, obs_x0, obs_mask, key):
@@ -326,12 +331,15 @@ def main() -> None:
     # samples/s vs B=64's 5.192 (+2.3%, golden-verified) — the MXU is
     # slightly better fed at the larger batch; BENCH_BATCH overrides
     B = int(os.environ.get("BENCH_BATCH", "128"))
-    # Headline = bf16 (round-4 demotion): the int8_static path is 1.7x
-    # faster but FAILED the protocol-level promotion gate on the g1.0
-    # 1000-sample wo_mm pair (keyframe error +31%, FID +27%, traj +49% —
-    # tests/test_protocol_delta_gate.py, BENCH_NOTES.md round-4). int8
-    # stays available via BENCH_MODEL=unet_int8{,_static}.
-    which = os.environ.get("BENCH_MODEL", "unet")
+    # Headline = float-tail mixed-step int8 (round-5 promotion): int8_static
+    # everywhere except the last 250 sampler steps, which run the float twin.
+    # Its 992x20 wo_mm protocol pair is INSIDE the promotion gate on every
+    # metric (FID +0.08%, keyframe error -0.10%, traj +0.85% vs bf16 —
+    # tests/test_protocol_delta_gate.py::test_int8_promotion_gate_drives_headline
+    # binds the committed pair), measured 7.615 samples/s = 27.4x. Pure
+    # int8_static remains quality-demoted (round-4, replicated round-5:
+    # keyframe +28%); bf16 via BENCH_MODEL=unet.
+    which = os.environ.get("BENCH_MODEL", "unet_int8_mixed")
 
     run, params, y, obs_x0, obs_mask, label = build_run(which, B)
 

@@ -10,18 +10,21 @@ int8 is the next rung past bf16. This module provides:
     fused dequant epilogue,
   * `quantize_params_tree` — one-shot conversion of a conv params tree.
 
-Status: int8 is an OPT-IN serving mode, NOT the bench headline. It was
-promoted in round 2 on a keyframe-error-only gate, then DEMOTED to bf16 in
-round 4 when the full 992-sample x 20-replication wo_mm protocol pair showed
-quantization noise compounding over the 1000-step sampling loop (+31%
-keyframe error, +27% FID, +49% trajectory error — see BENCH_NOTES.md round-4
-and tests/test_protocol_delta_gate.py, which machine-checks the decision in
-both directions). `int8_static` (calibrated static activation scales) is the
-fastest variant (~32x baseline); `int8_prequant` (weights stored
-pre-quantized) is the B=1 serving path; dynamic int8 is the calibration-free
-fallback; `int8_static_pc` adds per-input-channel activation scales and
-`int8_float_last_k` runs the final K sampling steps in bf16 — both built to
-attack the compounding-noise failure mode.
+Status: the FLOAT-TAIL MIXED-STEP path (`int8_float_last_k=250`: int8_static
+for the first 750 sampler steps, the float twin for the last 250) IS the
+bench headline since round 5 — its 992x20 wo_mm protocol pair is inside the
+promotion gate on every metric (FID +0.08%, keyframe -0.10% vs bf16) at
+7.62 samples/s = 27.4x. PURE int8 stays opt-in: promoted in round 2 on a
+keyframe-error-only gate, DEMOTED in round 4 when the full protocol pair
+showed quantization noise compounding over the 1000-step loop (+31%
+keyframe error; replicated +28% on the live round-5 pair — see
+BENCH_NOTES.md and tests/test_protocol_delta_gate.py, which machine-checks
+the decision in both directions). The round-5 K-sweep localized the damage:
+it accrues almost entirely in the LAST ~250 steps (a float head recovers
+nothing; a float tail recovers float-level quality), which is what makes
+the mixed path sound. `int8_static` is the fastest pure variant (~32x;
+`int8_static_pc` per-input-channel 9.03); `int8_prequant` is the B=1
+serving path; dynamic int8 is the calibration-free fallback.
 """
 
 from __future__ import annotations
