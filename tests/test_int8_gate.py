@@ -6,10 +6,10 @@ promotion over bf16 is gated on quality, not just speed:
   gate 1 — whole-sampler trajectory closeness on random weights
            (tests/test_quant.py::TestInt8WholeSampler);
   gate 2 — THIS file: on the committed checkpoint trained to convergence on
-           synthetic motion (save/synthetic_unet_s), the
-           benchmark_sparse keyframe error of int8 sampling
-           must match bf16 sampling within a few percent, and the sampled
-           motions themselves must stay close.
+           synthetic motion (save/synthetic_unet_m preferred), the
+           benchmark_sparse keyframe error of each int8 flavor's sampling
+           must match bf16 sampling within a few percent — each flavor's
+           gate binds only while that flavor headlines bench.py.
 
 Full-protocol numbers (1000-step DDPM, 20 replications, real chip) are
 recorded in BENCH_NOTES.md; this test reproduces the gate in minutes on CPU
@@ -52,14 +52,22 @@ CKPT = _conditioned_ckpt(_SAVE / "synthetic_unet_m") or _conditioned_ckpt(
 pytestmark = [pytest.mark.skipif(CKPT is None, reason="gate checkpoint absent"), pytest.mark.slow]
 
 
-def _bench_headline_is_int8() -> bool:
+def _bench_headline() -> str:
     """bench.py's default headline mode (same probe as the protocol gate,
     tests/test_protocol_delta_gate.py)."""
     import re
 
     src = (_SAVE.parent / "bench.py").read_text()
     m = re.search(r'os\.environ\.get\("BENCH_MODEL",\s*"([^"]+)"\)', src)
-    return bool(m) and "int8" in m.group(1)
+    return m.group(1) if m else "unet"
+
+
+# each unit gate binds only while ITS flavor headlines: the round-5
+# promotion is the MIXED path (whose own unit gate + protocol pair bind),
+# so the pure-int8 gates revert to documented-skip — their protocol-scale
+# failure is what keeps pure int8 demoted (test_protocol_delta_gate.py)
+def _binding(modes) -> bool:
+    return _bench_headline() in modes
 
 
 @pytest.fixture(scope="module")
@@ -82,6 +90,14 @@ def gate_setup():
     return args, ds, batch, B, T
 
 
+@pytest.fixture(scope="module")
+def float_sample(gate_setup):
+    """The bf16 control sampling, shared across the per-mode gates (it is
+    identical in every test and costs minutes on CPU)."""
+    args, ds, batch, B, T = gate_setup
+    return _sample(args, batch, B, T, "float")
+
+
 def _sample(args, batch, B, T, precision_mode, drop_obs=False):
     import dataclasses
 
@@ -90,11 +106,13 @@ def _sample(args, batch, B, T, precision_mode, drop_obs=False):
     from condmdi_tpu.sampling.synthesize import load_model_for_sampling
     from condmdi_tpu.training.keyframes import get_keyframes_mask
 
-    args = dataclasses.replace(args, precision_mode=precision_mode)
+    mixed = precision_mode == "int8_mixed"
+    load_mode = "int8_static" if mixed else precision_mode
+    args = dataclasses.replace(args, precision_mode=load_mode)
     args._cli_overridden = {"precision_mode", "timestep_respacing", "use_ddim"}
     model, params, sched, dcfg = load_model_for_sampling(args)
 
-    if precision_mode == "int8_static":
+    if load_mode == "int8_static":
         # trajectory calibration — the SAME method evals.run uses for the
         # protocol reports (round 4: q_sample-probed ranges clip under CFG
         # extrapolation; ranges are recorded along an actual dynamic-int8
@@ -113,8 +131,21 @@ def _sample(args, batch, B, T, precision_mode, drop_obs=False):
             obs_x0=x0_cal, obs_mask=cal_mask,
         )
 
-    def apply_fn(x, t, y, **kw):
-        return model.apply(params, x, t, y, **kw)
+    if mixed:
+        # the round-5 headline: int8_static except the last 250 sampler
+        # steps, which run the float twin of the same params (bench.py
+        # unet_int8_mixed / evals.run --int8_float_last_k 250)
+        model_f = model.clone(precision_mode="float")
+
+        def apply_fn(x, t, y, **kw):
+            return jax.lax.cond(
+                t[0] < 250,
+                lambda: model_f.apply(params, x, t, y, **kw),
+                lambda: model.apply(params, x, t, y, **kw),
+            )
+    else:
+        def apply_fn(x, t, y, **kw):
+            return model.apply(params, x, t, y, **kw)
 
     pipe = SamplePipeline(apply_fn, sched, dcfg, SamplerConfig(method="ddim", eta=0.0))
     obs_x0 = jnp.asarray(batch["motion"])
@@ -147,9 +178,9 @@ def _keyframe_error(sample, batch, obs_mask, ds):
 
 
 class TestInt8KeyframeErrorGate:
-    def test_keyframe_error_delta_small(self, gate_setup):
+    def test_keyframe_error_delta_small(self, gate_setup, float_sample):
         args, ds, batch, B, T = gate_setup
-        s_f, m_f = _sample(args, batch, B, T, "float")
+        s_f, m_f = float_sample
         s_q, m_q = _sample(args, batch, B, T, "int8")
         np.testing.assert_array_equal(m_f, m_q)
 
@@ -157,13 +188,15 @@ class TestInt8KeyframeErrorGate:
         kf_q = _keyframe_error(s_q, batch, m_q, ds)
         delta = abs(kf_q - kf_f) / max(kf_f, 1e-9)
         # the gate: int8 keyframe error within 5% of bf16 on a trained model.
-        # Binding only while bench.py headlines an int8 path (round 4 demoted
-        # the headline to bf16 after the PROTOCOL-level gate failed — see
+        # Binding only while bench.py headlines the PURE dynamic-int8 path
+        # (round 4 demoted pure int8 after the PROTOCOL-level gate failed;
+        # round 5's headline is the mixed path, gated by its own unit test
+        # below + the committed protocol pair — see
         # tests/test_protocol_delta_gate.py); otherwise an exceeded delta is
         # documented, not fatal.
-        if not _bench_headline_is_int8() and delta >= 0.05:
+        if not _binding(("unet_int8",)) and delta >= 0.05:
             pytest.skip(f"int8 dynamic unit delta {delta:.3f} >= 5% "
-                        "(headline is bf16; int8 not promoted)")
+                        "(pure dynamic int8 does not headline)")
         assert delta < 0.05, (kf_f, kf_q, delta)
 
         # second quality axis: whole-sequence joint error vs GT must match
@@ -195,23 +228,42 @@ class TestInt8KeyframeErrorGate:
         je_f, je_q = joint_err(s_f), joint_err(s_q)
         assert abs(je_q - je_f) / max(je_f, 1e-9) < 0.05, (je_f, je_q)
 
-    def test_static_scale_keyframe_error_delta_small(self, gate_setup):
+    def test_static_scale_keyframe_error_delta_small(self, gate_setup, float_sample):
         """Same quality gate for the static-activation-scale int8 path
         (scales calibrated on q_sample of the GT batch across the t range).
         Passing this is the promotion criterion for `int8_static` becoming
         the bench headline."""
         args, ds, batch, B, T = gate_setup
-        s_f, m_f = _sample(args, batch, B, T, "float")
+        s_f, m_f = float_sample
         s_s, m_s = _sample(args, batch, B, T, "int8_static")
         np.testing.assert_array_equal(m_f, m_s)
 
         kf_f = _keyframe_error(s_f, batch, m_f, ds)
         kf_s = _keyframe_error(s_s, batch, m_s, ds)
         delta = abs(kf_s - kf_f) / max(kf_f, 1e-9)
-        if not _bench_headline_is_int8() and delta >= 0.05:
+        if not _binding(("unet_int8_static", "unet_int8_static_pc")) and delta >= 0.05:
             pytest.skip(f"int8_static unit delta {delta:.3f} >= 5% "
-                        "(headline is bf16; int8 not promoted)")
+                        "(pure static int8 does not headline)")
         assert delta < 0.05, (kf_f, kf_s, delta)
+
+    def test_mixed_tail_keyframe_error_delta_small(self, gate_setup, float_sample):
+        """Unit gate for the round-5 HEADLINE: int8_static with the last
+        250 sampler steps on the float twin. Binding while
+        bench.py headlines unet_int8_mixed; the protocol-scale half of the
+        promotion evidence is the committed 992x20 f250 pair
+        (tests/test_protocol_delta_gate.py)."""
+        args, ds, batch, B, T = gate_setup
+        s_f, m_f = float_sample
+        s_m, m_m = _sample(args, batch, B, T, "int8_mixed")
+        np.testing.assert_array_equal(m_f, m_m)
+
+        kf_f = _keyframe_error(s_f, batch, m_f, ds)
+        kf_m = _keyframe_error(s_m, batch, m_m, ds)
+        delta = abs(kf_m - kf_f) / max(kf_f, 1e-9)
+        if not _binding(("unet_int8_mixed",)) and delta >= 0.05:
+            pytest.skip(f"mixed-tail unit delta {delta:.3f} >= 5% "
+                        "(mixed path does not headline)")
+        assert delta < 0.05, (kf_f, kf_m, delta)
 
     def test_trained_model_beats_trivial_baseline(self, gate_setup):
         """Sanity that the gate checkpoint is a real conditional model.
