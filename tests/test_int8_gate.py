@@ -70,6 +70,16 @@ def _binding(modes) -> bool:
     return _bench_headline() in modes
 
 
+def _bench_float_last_k() -> int:
+    """bench.py's default float-tail length — the mixed unit gate tests the
+    SAME K the headline serves."""
+    import re
+
+    src = (_SAVE.parent / "bench.py").read_text()
+    m = re.search(r'os\.environ\.get\("BENCH_FLOAT_LAST_K",\s*"(\d+)"\)', src)
+    return int(m.group(1)) if m else 250
+
+
 @pytest.fixture(scope="module")
 def gate_setup():
     from condmdi_tpu.data.dataset import DatasetConfig, SyntheticMotionDataset, collate
@@ -132,14 +142,16 @@ def _sample(args, batch, B, T, precision_mode, drop_obs=False):
         )
 
     if mixed:
-        # the round-5 headline: int8_static except the last 250 sampler
+        # the round-5 headline: int8_static except the last K sampler
         # steps, which run the float twin of the same params (bench.py
-        # unet_int8_mixed / evals.run --int8_float_last_k 250)
+        # unet_int8_mixed / evals.run --int8_float_last_k; K tracks
+        # bench.py's default so the unit gate tests what the headline serves)
         model_f = model.clone(precision_mode="float")
+        k_float = _bench_float_last_k()
 
         def apply_fn(x, t, y, **kw):
             return jax.lax.cond(
-                t[0] < 250,
+                t[0] < k_float,
                 lambda: model_f.apply(params, x, t, y, **kw),
                 lambda: model.apply(params, x, t, y, **kw),
             )

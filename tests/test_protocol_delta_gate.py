@@ -43,14 +43,29 @@ def _bench_headline() -> str:
     return m.group(1) if m else "unet"
 
 
+def _bench_float_last_k() -> int:
+    """bench.py's default float-tail length (BENCH_FLOAT_LAST_K unset)."""
+    import re
+
+    src = (Path(__file__).resolve().parent.parent / "bench.py").read_text()
+    m = re.search(r'os\.environ\.get\("BENCH_FLOAT_LAST_K",\s*"(\d+)"\)', src)
+    return int(m.group(1)) if m else 0
+
+
 def _bench_headline_is_int8() -> bool:
     return "int8" in _bench_headline()
 
 
 def _headline_int8_report() -> Path:
     """The protocol report that must back the CURRENT headline flavor:
-    the mixed-step pair for unet_int8_mixed, the pure pair otherwise."""
-    return F250 if _bench_headline() == "unet_int8_mixed" else INT8
+    the f{K} mixed-step pair for unet_int8_mixed (K = bench.py's default
+    tail), the pure pair otherwise — so changing the headline K without
+    committing its protocol pair fails the suite."""
+    if _bench_headline() == "unet_int8_mixed":
+        return _RUN / (
+            f"eval_benchmark_sparse_wo_mm_int8_static_f{_bench_float_last_k()}.json"
+        )
+    return INT8
 
 
 def test_int8_headline_requires_protocol_artifacts():
